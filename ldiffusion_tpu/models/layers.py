@@ -1,0 +1,229 @@
+"""Shared flax building blocks for the SD v1.5 VAE / UNet.
+
+All modules are NHWC (TPU-native conv layout), keep parameters in
+``param_dtype`` (fp32 by default) and compute in ``dtype`` (bf16 for speed).
+Behavioral contract follows diffusers' ResnetBlock2D / Transformer2DModel /
+Attention as used by SD v1.5 (reference loads them via
+``StableDiffusionImg2ImgPipeline``, ``ldiffusion.py:66-70``); the
+implementation is original and TPU-first (flash attention for spatial
+self-attention, XLA-fused GroupNorm+SiLU).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ldiffusion_tpu.ops.attention import dot_product_attention
+from ldiffusion_tpu.ops.resize import upsample_nearest_2x
+
+
+def timestep_embedding(timesteps, dim: int, max_period: float = 10000.0, dtype=jnp.float32):
+    """Sinusoidal embedding, diffusers convention with flip_sin_to_cos=True,
+    downscale_freq_shift=0 (SD v1.5): output is [cos | sin]."""
+    timesteps = jnp.atleast_1d(jnp.asarray(timesteps))
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    return emb.astype(dtype)
+
+
+class TimeEmbedding(nn.Module):
+    """2-layer MLP over the sinusoidal embedding (SD: 320 -> 1280 -> 1280)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, emb):
+        emb = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="linear_1")(emb)
+        emb = nn.silu(emb)
+        emb = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="linear_2")(emb)
+        return emb
+
+
+class ResnetBlock(nn.Module):
+    """GN→SiLU→Conv3x3 [+time] →GN→SiLU→Conv3x3 with (1x1) skip."""
+
+    out_channels: int
+    eps: float = 1e-5
+    groups: int = 32
+    use_time_emb: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb=None):
+        residual = x
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="conv1")(h)
+        if self.use_time_emb and temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="time_emb_proj")(nn.silu(temb))
+            h = h + t[:, None, None, :]
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="conv2")(h)
+        if residual.shape[-1] != self.out_channels:
+            residual = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                               param_dtype=self.param_dtype, name="conv_shortcut")(residual)
+        return h + residual
+
+
+class Downsample(nn.Module):
+    """Stride-2 3x3 conv. UNet uses symmetric pad 1; the VAE encoder uses
+    asymmetric (0,1) padding (diffusers Downsample2D padding=0 + manual pad)."""
+
+    out_channels: int
+    asymmetric_pad: bool = False
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        pad = ((0, 1), (0, 1)) if self.asymmetric_pad else ((1, 1), (1, 1))
+        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=pad,
+                       dtype=self.dtype, param_dtype=self.param_dtype, name="conv")(x)
+
+
+class Upsample(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = upsample_nearest_2x(x)
+        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="conv")(x)
+
+
+class Attention(nn.Module):
+    """Multi-head attention (self when ``context`` is None, else cross)."""
+
+    num_heads: int
+    head_dim: int
+    out_channels: Optional[int] = None
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        inner = self.num_heads * self.head_dim
+        out_ch = self.out_channels or x.shape[-1]
+        context = x if context is None else context
+        dense = lambda feat, name, bias: nn.Dense(
+            feat, use_bias=bias, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+        )
+        q = dense(inner, "to_q", self.use_bias)(x)
+        k = dense(inner, "to_k", self.use_bias)(context)
+        v = dense(inner, "to_v", self.use_bias)(context)
+        b, sq, _ = q.shape
+        sk = k.shape[1]
+        q = q.reshape(b, sq, self.num_heads, self.head_dim)
+        k = k.reshape(b, sk, self.num_heads, self.head_dim)
+        v = v.reshape(b, sk, self.num_heads, self.head_dim)
+        out = dot_product_attention(q, k, v)
+        out = out.reshape(b, sq, inner)
+        return dense(out_ch, "to_out", True)(out)
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward (dim -> 4*dim gated -> dim), SD transformer FF."""
+
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.dim * self.mult
+        h = nn.Dense(inner * 2, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate)
+        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out")(h)
+
+
+class TransformerBlock(nn.Module):
+    """LN→self-attn→LN→cross-attn→LN→GEGLU-FF, all residual."""
+
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        ln = lambda name: nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+        attn = lambda name: Attention(self.num_heads, self.head_dim, dtype=self.dtype,
+                                      param_dtype=self.param_dtype, name=name)
+        x = x + attn("attn1")(ln("norm1")(x))
+        x = x + attn("attn2")(ln("norm2")(x), context)
+        x = x + FeedForward(x.shape[-1], dtype=self.dtype, param_dtype=self.param_dtype,
+                            name="ff")(ln("norm3")(x))
+        return x
+
+
+class Transformer2D(nn.Module):
+    """Spatial transformer: GN → 1x1 conv in → blocks → 1x1 conv out + residual.
+
+    SD v1.5 uses conv (not linear) projections (use_linear_projection=False).
+    """
+
+    num_heads: int
+    head_dim: int
+    depth: int = 1
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        b, h, w, c = x.shape
+        residual = x
+        x = nn.GroupNorm(32, epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="norm")(x)
+        x = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in")(x)
+        x = x.reshape(b, h * w, c)
+        for i in range(self.depth):
+            x = TransformerBlock(self.num_heads, self.head_dim, dtype=self.dtype,
+                                 param_dtype=self.param_dtype,
+                                 name=f"transformer_blocks_{i}")(x, context)
+        x = x.reshape(b, h, w, c)
+        x = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out")(x)
+        return x + residual
+
+
+class VAEAttention(nn.Module):
+    """Single-head attention block used in the VAE mid-block (GN → qkv → proj,
+    residual)."""
+
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        residual = x
+        y = nn.GroupNorm(32, epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="group_norm")(x)
+        y = y.reshape(b, h * w, c)
+        dense = lambda name: nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+        q = dense("to_q")(y)[:, :, None, :]  # single head
+        k = dense("to_k")(y)[:, :, None, :]
+        v = dense("to_v")(y)[:, :, None, :]
+        out = dot_product_attention(q, k, v).reshape(b, h * w, c)
+        out = dense("to_out")(out).reshape(b, h, w, c)
+        return out + residual

@@ -1,0 +1,131 @@
+"""Attention ops: Pallas flash-attention kernel with an XLA fallback.
+
+The hot attention in this framework is the SD UNet's spatial self-attention
+over 64x64=4096 latent tokens (reference runs it through diffusers/CUDA;
+SURVEY §5 long-context note). A materialized 4096x4096 score matrix is
+16-64MB per head — far beyond VMEM — so the Pallas kernel streams KV blocks
+with an online softmax, keeping everything in VMEM and feeding the MXU with
+(block x 128)-aligned matmuls.
+
+Cross-attention (77 text tokens) has tiny score matrices; it takes the XLA
+path where the compiler's fusion is already optimal.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Toggled by tests / benchmarks. "auto": pallas on TPU when shapes allow.
+_MODE = "auto"  # "auto" | "xla" | "pallas" | "pallas_interpret"
+
+
+def set_attention_mode(mode: str) -> None:
+    global _MODE
+    assert mode in ("auto", "xla", "pallas", "pallas_interpret"), mode
+    _MODE = mode
+
+
+def _xla_attention(q, k, v, scale):
+    # (B, S, H, D) layout
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits * scale, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k):
+    """One (batch*head, q-block) grid step; streams kv in ``block_k`` chunks."""
+    q = q_ref[0].astype(jnp.float32)  # (BQ, D)
+    bq, d = q.shape
+    n_kv = k_ref.shape[1] // block_k
+
+    def body(j, carry):
+        acc, m, l = carry
+        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (BQ, BK)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * corr + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return acc_new, m_new, l_new
+
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, n_kv, body, (acc0, m0, l0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
+def _flash_attention_bhsd(q, k, v, scale, block_q=256, block_k=512, interpret=False):
+    """q,k,v: (BH, S, D) with S % block == 0 and D % 128 == 0."""
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    grid = (bh, sq // block_q)
+    return pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, block_k=block_k),
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * sq * sk * d,
+            bytes_accessed=(2 * bh * sq * d + 2 * bh * sk * d) * q.dtype.itemsize,
+            transcendentals=bh * sq * sk,
+        ),
+    )(q, k, v)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def dot_product_attention(q, k, v, scale=None):
+    """Multi-head attention, (B, S, H, D) layout.
+
+    Routes 128-aligned long-sequence self-attention to the Pallas flash
+    kernel; everything else (e.g. 77-token cross-attention) to XLA.
+    """
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+
+    mode = _MODE
+    if mode == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        use_pallas = on_tpu and sq % 256 == 0 and sk % 512 == 0 and sk >= 512
+        mode = "pallas" if use_pallas else "xla"
+
+    if mode == "xla":
+        return _xla_attention(q, k, v, scale)
+
+    interpret = mode == "pallas_interpret"
+    dp = _round_up(d, 128)
+    # (B,S,H,D) -> (B*H, S, Dp); zero-pad head dim (scores & output unaffected)
+    def to_bhsd(x, s):
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, s, d)
+        if dp != d:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, dp - d)))
+        return x
+
+    out = _flash_attention_bhsd(
+        to_bhsd(q, sq), to_bhsd(k, sk), to_bhsd(v, sk), float(scale), interpret=interpret
+    )
+    out = out[:, :, :d].reshape(b, h, sq, d)
+    return jnp.transpose(out, (0, 2, 1, 3))
