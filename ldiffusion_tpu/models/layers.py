@@ -185,6 +185,7 @@ class Transformer2D(nn.Module):
     num_heads: int
     head_dim: int
     depth: int = 1
+    groups: int = 32
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -192,7 +193,7 @@ class Transformer2D(nn.Module):
     def __call__(self, x, context):
         b, h, w, c = x.shape
         residual = x
-        x = nn.GroupNorm(32, epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype,
+        x = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype,
                          name="norm")(x)
         x = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in")(x)
         x = x.reshape(b, h * w, c)
@@ -210,6 +211,7 @@ class VAEAttention(nn.Module):
     residual)."""
 
     channels: int
+    groups: int = 32
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -217,7 +219,7 @@ class VAEAttention(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         residual = x
-        y = nn.GroupNorm(32, epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype,
+        y = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype,
                          name="group_norm")(x)
         y = y.reshape(b, h * w, c)
         dense = lambda name: nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name=name)

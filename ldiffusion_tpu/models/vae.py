@@ -58,7 +58,7 @@ class Encoder(nn.Module):
                 h = Downsample(ch, asymmetric_pad=True, name=f"down_{i}_downsample", **common)(h)
         ch = cfg.block_out_channels[-1]
         h = rb(ch, "mid_resnet_0")(h)
-        h = VAEAttention(ch, name="mid_attn", **common)(h)
+        h = VAEAttention(ch, groups=cfg.norm_num_groups, name="mid_attn", **common)(h)
         h = rb(ch, "mid_resnet_1")(h)
         h = nn.GroupNorm(cfg.norm_num_groups, epsilon=1e-6, name="conv_norm_out", **common)(h)
         h = nn.silu(h)
@@ -79,7 +79,7 @@ class Decoder(nn.Module):
         ch = cfg.block_out_channels[-1]
         h = nn.Conv(ch, (3, 3), padding=1, name="conv_in", **common)(z)
         h = rb(ch, "mid_resnet_0")(h)
-        h = VAEAttention(ch, name="mid_attn", **common)(h)
+        h = VAEAttention(ch, groups=cfg.norm_num_groups, name="mid_attn", **common)(h)
         h = rb(ch, "mid_resnet_1")(h)
         for i, ch in enumerate(reversed(cfg.block_out_channels)):
             for j in range(cfg.layers_per_block + 1):
