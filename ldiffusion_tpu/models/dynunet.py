@@ -1,0 +1,128 @@
+"""nnUNet-style dynamic 2D UNet (plan-driven topology) in flax.
+
+Behavioral contract: ``PlainConvUNet`` as built by the vendored nnUNetv2 from
+plans (reference ``model/nnunetv2/utilities/get_network_from_plans.py:9-77``):
+per-stage [conv3x3 → InstanceNorm → LeakyReLU(0.01)] ×2, strided-conv
+downsampling, transpose-conv upsampling with skip concat, 1x1 segmentation
+heads at every decoder stage for deep supervision
+(``nnUNetTrainer.py:364-373``).
+
+TPU-first: NHWC, bf16 compute, channel counts rounded to MXU-friendly
+multiples by the planner, instance norm fused by XLA. Topology (n_stages,
+features, strides) comes from the plan (``segmentor/planner.py``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class DynUNetConfig:
+    in_channels: int = 3
+    num_classes: int = 7
+    features_per_stage: Tuple[int, ...] = (32, 64, 128, 256, 512, 512, 512)
+    strides: Tuple[int, ...] = (1, 2, 2, 2, 2, 2, 2)  # per-stage downsampling
+    n_conv_per_stage: int = 2
+    kernel_size: int = 3
+    deep_supervision: bool = True
+    norm_eps: float = 1e-5
+    negative_slope: float = 0.01
+
+    @property
+    def n_stages(self) -> int:
+        return len(self.features_per_stage)
+
+    @staticmethod
+    def tiny(num_classes: int = 7) -> "DynUNetConfig":
+        return DynUNetConfig(num_classes=num_classes,
+                             features_per_stage=(8, 16, 32), strides=(1, 2, 2))
+
+
+class InstanceNorm(nn.Module):
+    """Per-sample, per-channel spatial normalization with affine params
+    (torch InstanceNorm2d(affine=True) semantics used by nnUNet)."""
+
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.var(x, axis=(1, 2), keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+        return y * scale.astype(y.dtype) + bias.astype(y.dtype)
+
+
+class ConvBlock(nn.Module):
+    features: int
+    stride: int = 1
+    kernel_size: int = 3
+    eps: float = 1e-5
+    negative_slope: float = 0.01
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        x = nn.Conv(self.features, (k, k), strides=(self.stride, self.stride),
+                    padding=k // 2, dtype=self.dtype, param_dtype=self.param_dtype,
+                    name="conv")(x)
+        x = InstanceNorm(self.eps, dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="norm")(x)
+        return nn.leaky_relu(x, self.negative_slope)
+
+
+class DynUNet(nn.Module):
+    config: DynUNetConfig = DynUNetConfig()
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        """x: (B, H, W, C_in). Returns list of logits [full, 1/2, 1/4, ...]
+        (deep supervision; highest resolution first, reference trainer
+        convention) or a single array when deep_supervision is off."""
+        cfg = self.config
+        common = dict(kernel_size=cfg.kernel_size, eps=cfg.norm_eps,
+                      negative_slope=cfg.negative_slope, dtype=self.dtype,
+                      param_dtype=self.param_dtype)
+        x = x.astype(self.dtype)
+
+        skips: List[jax.Array] = []
+        for s in range(cfg.n_stages):
+            feats = cfg.features_per_stage[s]
+            x = ConvBlock(feats, stride=cfg.strides[s], name=f"enc_{s}_0", **common)(x)
+            for c in range(1, cfg.n_conv_per_stage):
+                x = ConvBlock(feats, name=f"enc_{s}_{c}", **common)(x)
+            skips.append(x)
+
+        seg_outputs: List[jax.Array] = []
+        for d in range(cfg.n_stages - 2, -1, -1):
+            feats = cfg.features_per_stage[d]
+            stride = cfg.strides[d + 1]
+            x = nn.ConvTranspose(feats, (stride, stride), strides=(stride, stride),
+                                 dtype=self.dtype, param_dtype=self.param_dtype,
+                                 name=f"up_{d}")(x)
+            x = jnp.concatenate([x, skips[d]], axis=-1)
+            x = ConvBlock(feats, name=f"dec_{d}_0", **common)(x)
+            for c in range(1, cfg.n_conv_per_stage):
+                x = ConvBlock(feats, name=f"dec_{d}_{c}", **common)(x)
+            if cfg.deep_supervision or d == 0:
+                seg = nn.Conv(cfg.num_classes, (1, 1), dtype=self.dtype,
+                              param_dtype=self.param_dtype, name=f"seg_{d}")(x)
+                seg_outputs.append(seg.astype(jnp.float32))
+
+        seg_outputs = seg_outputs[::-1]  # highest resolution first
+        if cfg.deep_supervision and train:
+            return seg_outputs
+        return seg_outputs[0]

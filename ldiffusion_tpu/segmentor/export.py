@@ -1,0 +1,46 @@
+"""Prediction export: logits → segmentation → original geometry → PNG.
+
+Behavioral contract: reference ``inference/export_prediction.py:15-106``:
+resample logits to pre-crop shape, softmax/argmax, paste back into the
+original-size canvas at the crop bbox, revert transpose (identity in 2D),
+write via the reader-writer (PNG uint8 here, NaturalImage2DIO semantics —
+``imageio/natural_image_reader_writer.py:53-65``).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+from PIL import Image
+
+from ldiffusion_tpu.segmentor.resample import resample_logits
+
+
+def logits_to_segmentation(logits: np.ndarray, properties: Optional[Dict] = None) -> np.ndarray:
+    """logits: (H, W, C) on the cropped grid; properties carries bbox +
+    original_shape (from preprocessing). Returns (H_orig, W_orig) uint8."""
+    if properties:
+        bbox = properties["bbox"]
+        crop_shape = (bbox[0][1] - bbox[0][0], bbox[1][1] - bbox[1][0])
+        if tuple(logits.shape[:2]) != tuple(crop_shape):
+            logits = resample_logits(logits, crop_shape)
+    seg = np.argmax(logits, axis=-1).astype(np.uint8)
+    if properties:
+        out = np.zeros(tuple(properties["original_shape"]), np.uint8)
+        bbox = properties["bbox"]
+        out[bbox[0][0]:bbox[0][1], bbox[1][0]:bbox[1][1]] = seg
+        return out
+    return seg
+
+
+def save_segmentation_png(seg: np.ndarray, path: str):
+    Image.fromarray(seg.astype(np.uint8)).save(path)
+
+
+def save_probabilities_npz(logits: np.ndarray, path: str):
+    """Analog of --save_probabilities (reference
+    ``export_prediction.py:109-121``): softmax probabilities to npz."""
+    x = logits - logits.max(axis=-1, keepdims=True)
+    e = np.exp(x)
+    probs = e / e.sum(axis=-1, keepdims=True)
+    np.savez_compressed(path, probabilities=probs.astype(np.float16))

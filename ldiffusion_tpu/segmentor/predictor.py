@@ -1,0 +1,159 @@
+"""Sliding-window prediction with gaussian blending and mirror TTA.
+
+Behavioral contract: ``nnUNetPredictor`` internals (reference
+``inference/predict_from_raw_data.py:496-634``, ``sliding_window_prediction.py``):
+pad to ≥patch, tile with step 0.5×patch (evenly distributed starts), weight
+each tile's logits by a centered gaussian (σ = patch/8, floored at its
+minimum nonzero value), optional test-time mirroring over all axis
+combinations, fold ensembling by logit averaging, then argmax + un-pad.
+
+TPU-first: the reference iterates tiles in Python with CUDA sync per tile;
+here the tile loop is a ``lax.scan`` inside one jitted function — extraction
+is ``dynamic_slice``, accumulation ``dynamic_update_slice`` on an HBM
+accumulator, so the whole image predicts in a single XLA program. Tile
+positions are static per (image-shape, patch) pair: images bucket to a small
+number of compiled programs.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldiffusion_tpu.models.dynunet import DynUNet
+from ldiffusion_tpu.segmentor.planner import SegPlan
+from ldiffusion_tpu.segmentor.preprocess import zscore_normalize
+
+
+def compute_steps(image_size: int, patch_size: int, step_frac: float = 0.5) -> List[int]:
+    """Evenly-distributed tile starts (reference
+    ``predict_from_raw_data.py:496-528`` / compute_steps_for_sliding_window)."""
+    if image_size <= patch_size:
+        return [0]
+    target_step = patch_size * step_frac
+    num_steps = int(np.ceil((image_size - patch_size) / target_step)) + 1
+    max_start = image_size - patch_size
+    if num_steps > 1:
+        actual = max_start / (num_steps - 1)
+    else:
+        actual = 0
+    return [int(round(i * actual)) for i in range(num_steps)]
+
+
+def gaussian_importance_map(patch: Tuple[int, int], sigma_scale: float = 1.0 / 8) -> np.ndarray:
+    """Centered gaussian weight map (reference
+    ``sliding_window_prediction.py:10-29``)."""
+    tmp = np.zeros(patch, np.float32)
+    center = [p // 2 for p in patch]
+    tmp[tuple(center)] = 1.0
+    from scipy.ndimage import gaussian_filter
+
+    sigmas = [p * sigma_scale for p in patch]
+    g = gaussian_filter(tmp, sigmas, mode="constant")
+    g = g / g.max()
+    g[g == 0] = g[g > 0].min()  # floor at min nonzero (reference behavior)
+    return g.astype(np.float32)
+
+
+class SlidingWindowPredictor:
+    def __init__(self, plan: SegPlan, params, use_gaussian: bool = True,
+                 use_mirroring: bool = True, dtype=jnp.bfloat16):
+        self.plan = plan
+        self.net = DynUNet(plan.network_config(), dtype=dtype)
+        self.params_list = params if isinstance(params, (list, tuple)) else [params]
+        self.use_gaussian = use_gaussian
+        self.use_mirroring = use_mirroring
+        self._predict_cache = {}
+
+    @classmethod
+    def from_checkpoints(cls, plan: SegPlan, paths: Sequence[str], **kw):
+        """Fold ensembling: load several checkpoints, logits are averaged
+        (reference ``predict_from_raw_data.py:459-494``)."""
+        from ldiffusion_tpu.core.checkpoint import load_pytree
+
+        params = [load_pytree(p)["params"] for p in paths]
+        return cls(plan, params, **kw)
+
+    # -- jitted core --------------------------------------------------------
+    def _tile_fn(self, params, tile):
+        """(1, ph, pw, C) -> (1, ph, pw, num_classes) with optional mirror TTA
+        (reference ``:530-545``: average over all flip combinations)."""
+        def fwd(x):
+            return self.net.apply({"params": params}, x, train=False)
+
+        logits = fwd(tile)
+        if self.use_mirroring:
+            logits = logits + fwd(tile[:, ::-1])[:, ::-1]
+            logits = logits + fwd(tile[:, :, ::-1])[:, :, ::-1]
+            logits = logits + fwd(tile[:, ::-1, ::-1])[:, ::-1, ::-1]
+            logits = logits / 4.0
+        return logits
+
+    def _build_predict(self, padded_shape: Tuple[int, int], positions: np.ndarray):
+        ph, pw = self.plan.patch_size
+        c = self.plan.num_classes
+        gauss = jnp.asarray(
+            gaussian_importance_map((ph, pw)) if self.use_gaussian
+            else np.ones((ph, pw), np.float32)
+        )
+        pos = jnp.asarray(positions, jnp.int32)  # (T, 2)
+
+        @jax.jit
+        def predict(params, image):
+            """image: (H, W, C) padded/normalized."""
+            acc = jnp.zeros(padded_shape + (c,), jnp.float32)
+            wacc = jnp.zeros(padded_shape + (1,), jnp.float32)
+
+            def body(carry, p):
+                acc, wacc = carry
+                y, x = p[0], p[1]
+                tile = jax.lax.dynamic_slice(image, (y, x, 0),
+                                             (ph, pw, image.shape[-1]))
+                logits = self._tile_fn(params, tile[None])[0].astype(jnp.float32)
+                logits = logits * gauss[..., None]
+                cur = jax.lax.dynamic_slice(acc, (y, x, 0), (ph, pw, c))
+                acc = jax.lax.dynamic_update_slice(acc, cur + logits, (y, x, 0))
+                curw = jax.lax.dynamic_slice(wacc, (y, x, 0), (ph, pw, 1))
+                wacc = jax.lax.dynamic_update_slice(
+                    wacc, curw + gauss[..., None], (y, x, 0))
+                return (acc, wacc), None
+
+            (acc, wacc), _ = jax.lax.scan(body, (acc, wacc), pos)
+            return acc / wacc
+
+        return predict
+
+    # -- public -------------------------------------------------------------
+    def predict_logits(self, image: np.ndarray, normalize: bool = True) -> np.ndarray:
+        """image: (H, W, C) float → (H, W, num_classes) blended logits."""
+        if normalize:
+            image = zscore_normalize(image)
+        h, w = image.shape[:2]
+        ph, pw = self.plan.patch_size
+        pad_h, pad_w = max(0, ph - h), max(0, pw - w)
+        if pad_h or pad_w:
+            image = np.pad(image, ((0, pad_h), (0, pad_w), (0, 0)))
+        hp, wp = image.shape[:2]
+        positions = np.array(
+            [(y, x) for y in compute_steps(hp, ph) for x in compute_steps(wp, pw)],
+            np.int32,
+        )
+        cache_key = (hp, wp, len(positions))
+        if cache_key not in self._predict_cache:
+            self._predict_cache[cache_key] = self._build_predict((hp, wp),
+                                                                 positions)
+        predict = self._predict_cache[cache_key]
+        out = None
+        for params in self.params_list:  # fold ensembling: average logits
+            logits = np.asarray(predict(params, jnp.asarray(image)))
+            out = logits if out is None else out + logits
+        out = out / len(self.params_list)
+        return out[:h, :w]
+
+    def predict(self, image: np.ndarray, normalize: bool = True) -> np.ndarray:
+        """→ (H, W) argmax class map."""
+        return np.argmax(self.predict_logits(image, normalize), axis=-1).astype(np.uint8)

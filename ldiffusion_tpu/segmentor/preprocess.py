@@ -1,0 +1,129 @@
+"""Preprocessing: crop → normalize → (no-op 2D resample) → fg locations.
+
+Behavioral contract: nnUNet's ``DefaultPreprocessor`` (reference
+``preprocessing/preprocessors/default_preprocessor.py:33-296``): per case,
+crop to nonzero (bbox kept for export-time reversal), per-channel z-score
+normalization, and ≤10k sampled foreground locations per class for patch
+oversampling (``_sample_foreground_locations``, ``:151-178``). The PNG 2D
+path has uniform unit spacing, so resampling is the identity (the general
+spacing-aware resampler lives in ``segmentor/resample.py`` for parity with
+``preprocessing/resampling/default_resampling.py``).
+
+Storage: in-memory arrays or ``.npz`` per case + a JSON properties sidecar —
+the analog of nnUNet's npz/pkl pairs (``run_case_save``, ``:143-149``).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ldiffusion_tpu.segmentor.fingerprint import crop_to_nonzero_bbox
+
+FG_LOCS_PER_CLASS = 10_000
+
+
+@dataclasses.dataclass
+class PreprocessedCase:
+    data: np.ndarray          # (H, W, C) float32, normalized
+    seg: np.ndarray           # (H, W) int16 (-1 marks outside-crop padding)
+    properties: Dict          # bbox, original shape, class locations
+
+
+def zscore_normalize(image: np.ndarray) -> np.ndarray:
+    """Per-image per-channel z-score (``ZScoreNormalization``, reference
+    ``preprocessing/normalization/default_normalization_schemes.py:8-40``)."""
+    mean = image.mean(axis=(0, 1), keepdims=True)
+    std = image.std(axis=(0, 1), keepdims=True)
+    return ((image - mean) / np.maximum(std, 1e-8)).astype(np.float32)
+
+
+def sample_fg_locations(seg: np.ndarray, num_classes: int, seed: int = 1234,
+                        per_class: int = FG_LOCS_PER_CLASS) -> Dict[int, np.ndarray]:
+    """≤per_class (y, x) samples per foreground class (reference
+    ``default_preprocessor.py:151-178``)."""
+    rng = np.random.default_rng(seed)
+    out = {}
+    for c in range(1, num_classes):
+        coords = np.argwhere(seg == c)
+        if coords.shape[0] == 0:
+            continue
+        if coords.shape[0] > per_class:
+            coords = coords[rng.choice(coords.shape[0], per_class, replace=False)]
+        out[c] = coords.astype(np.int32)
+    return out
+
+
+def preprocess_case(image: np.ndarray, seg: np.ndarray, num_classes: int,
+                    seed: int = 1234) -> PreprocessedCase:
+    """image: (H, W, C) float32; seg: (H, W) int."""
+    orig_shape = image.shape[:2]
+    ys, xs = crop_to_nonzero_bbox(image)
+    image = image[ys, xs]
+    seg = seg[ys, xs].astype(np.int16)
+    data = zscore_normalize(image)
+    props = {
+        "original_shape": list(orig_shape),
+        "bbox": [[ys.start, ys.stop], [xs.start, xs.stop]],
+        "class_locations": sample_fg_locations(seg, num_classes, seed),
+    }
+    return PreprocessedCase(data=data, seg=seg, properties=props)
+
+
+class PreprocessedDataset:
+    """Case-keyed preprocessed store — the analog of ``nnUNetDataset``
+    (reference ``training/dataloading/nnunet_dataset.py:11-111``). Supports
+    in-memory use or npz-backed directories (memory-mapping equivalent:
+    np.load with mmap for the unpacked arrays)."""
+
+    def __init__(self, cases: Optional[Dict[str, PreprocessedCase]] = None,
+                 directory: Optional[str] = None):
+        self.cases = cases or {}
+        self.directory = directory
+
+    @classmethod
+    def build(cls, images: Sequence[np.ndarray], segs: Sequence[np.ndarray],
+              num_classes: int, case_ids: Optional[Sequence[str]] = None,
+              directory: Optional[str] = None) -> "PreprocessedDataset":
+        case_ids = case_ids or [f"case_{i:03d}" for i in range(len(images))]
+        ds = cls(directory=directory)
+        for cid, img, seg in zip(case_ids, images, segs):
+            pc = preprocess_case(img, seg, num_classes)
+            if directory:
+                os.makedirs(directory, exist_ok=True)
+                np.savez(os.path.join(directory, f"{cid}.npz"), data=pc.data, seg=pc.seg)
+                props = dict(pc.properties)
+                props["class_locations"] = {
+                    str(k): v.tolist() for k, v in props["class_locations"].items()
+                }
+                with open(os.path.join(directory, f"{cid}.json"), "w") as f:
+                    json.dump(props, f)
+            ds.cases[cid] = pc
+        return ds
+
+    @classmethod
+    def load(cls, directory: str) -> "PreprocessedDataset":
+        ds = cls(directory=directory)
+        for fn in sorted(os.listdir(directory)):
+            if not fn.endswith(".npz"):
+                continue
+            cid = fn[:-4]
+            z = np.load(os.path.join(directory, fn))
+            props = json.load(open(os.path.join(directory, f"{cid}.json")))
+            props["class_locations"] = {
+                int(k): np.asarray(v, np.int32) for k, v in props["class_locations"].items()
+            }
+            ds.cases[cid] = PreprocessedCase(data=z["data"], seg=z["seg"], properties=props)
+        return ds
+
+    def keys(self) -> List[str]:
+        return list(self.cases.keys())
+
+    def __len__(self) -> int:
+        return len(self.cases)
+
+    def __getitem__(self, cid: str) -> PreprocessedCase:
+        return self.cases[cid]
