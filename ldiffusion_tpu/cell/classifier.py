@@ -1,0 +1,240 @@
+"""Cell instance classifier: instances → patch crops → encoder → class map.
+
+Behavioral contract: ``CellSegClassifier`` (reference
+``model/conductor.py:138-233``): per instance — bbox crop (skipped when
+either side < 4 px, ``:197``), 64×64 resize + imagenet normalization, frozen
+ResNet-152 encoder → 1×1-conv adapter (2048→256) → global average pool →
+linear classifier → top-1 over classes 1..N-1 (background prob dropped,
+``:219-221``) — painted back as a one-hot (1, H, W, C) mask.
+
+Training contract (reference ``segmentor.py:243-299``): AdamW lr 1e-4,
+CombinedLoss, best-val-micro-dice checkpointing. Documented fix (SURVEY §7):
+the reference's loss had no gradient path to any parameter (the painted mask
+is built from ``.item()``-detached top-1 indices and the encoder/adapter run
+under no_grad) — here the adapter+classifier train with per-instance CE
+against the instance's majority ground-truth class, which is the working
+version of the same design.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ldiffusion_tpu.core.checkpoint import load_pytree, save_pytree
+from ldiffusion_tpu.core.logging import TextLogger
+from ldiffusion_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
+from ldiffusion_tpu.losses.dice import micro_dice
+from ldiffusion_tpu.models.resnet import ResNetConfig, ResNetEncoder
+from ldiffusion_tpu.cell.instance import DistanceWatershedProposer, InstanceProposer
+
+PATCH = 64
+MIN_BOX = 4  # reference conductor.py:197
+
+
+def _resize64(patch: np.ndarray) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.fromarray((np.clip(patch, 0, 1) * 255).astype(np.uint8))
+    return np.asarray(img.resize((PATCH, PATCH), Image.BILINEAR), np.float32) / 255.0
+
+
+def extract_instance_patches(image: np.ndarray, instances: np.ndarray,
+                             max_instances: Optional[int] = None):
+    """image: (H, W, 3) in [0,1]; instances: (H, W) ids.
+    Returns (patches (N,64,64,3) imagenet-normalized, ids list, boxes list)."""
+    ids = [i for i in np.unique(instances) if i != 0]
+    patches, keep, boxes = [], [], []
+    for i in ids:
+        ys, xs = np.nonzero(instances == i)
+        y1, y2, x1, x2 = ys.min(), ys.max(), xs.min(), xs.max()
+        if y2 - y1 < MIN_BOX or x2 - x1 < MIN_BOX:
+            continue
+        p = _resize64(image[y1:y2 + 1, x1:x2 + 1])
+        patches.append((p - IMAGENET_MEAN) / IMAGENET_STD)
+        keep.append(int(i))
+        boxes.append((int(x1), int(y1), int(x2), int(y2)))
+        if max_instances and len(keep) >= max_instances:
+            break
+    if not patches:
+        return np.zeros((0, PATCH, PATCH, 3), np.float32), [], []
+    return np.stack(patches), keep, boxes
+
+
+class CellSegClassifier:
+    """Encoder (frozen) + adapter conv + linear head over instance patches."""
+
+    def __init__(self, num_classes: int, encoder_cfg: Optional[ResNetConfig] = None,
+                 rng=None, encoder_variables: Optional[dict] = None,
+                 proposer: Optional[InstanceProposer] = None):
+        self.num_classes = num_classes
+        self.encoder_cfg = encoder_cfg or ResNetConfig.resnet152()
+        self.encoder = ResNetEncoder(self.encoder_cfg)
+        rng = jax.random.key(0) if rng is None else rng
+        r1, r2, r3 = jax.random.split(rng, 3)
+        if encoder_variables is None:
+            encoder_variables = self.encoder.init(r1, jnp.zeros((1, PATCH, PATCH, 3)))
+        self.encoder_vars = encoder_variables
+        n_stages = len(self.encoder_cfg.stage_sizes)
+        feat_dim = self.encoder_cfg.width * (2 ** (n_stages - 1)) * 4  # bottleneck expansion
+        bound = 1.0 / np.sqrt(feat_dim * 9)
+        self.head = {
+            "adapter": {
+                "kernel": jax.random.uniform(r2, (3, 3, feat_dim, 256), jnp.float32,
+                                             -bound, bound),
+                "bias": jnp.zeros((256,)),
+            },
+            "classifier": {
+                "kernel": jax.random.uniform(r3, (256, num_classes), jnp.float32,
+                                             -1 / 16, 1 / 16),
+                "bias": jnp.zeros((num_classes,)),
+            },
+        }
+        self.proposer = proposer or DistanceWatershedProposer()
+        self._logits_fn = self._make_logits_fn()
+
+    # -- forward ------------------------------------------------------------
+    def _make_logits_fn(self):
+        @jax.jit
+        def logits_fn(head, enc_vars, patches):
+            feats = self.encoder.apply(enc_vars, patches, train=False)
+            feats = jax.lax.stop_gradient(feats)  # frozen (reference :213)
+            feats = jax.lax.conv_general_dilated(
+                feats, head["adapter"]["kernel"], (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + head["adapter"]["bias"]
+            feats = jnp.mean(feats, axis=(1, 2))  # global average pool
+            return feats @ head["classifier"]["kernel"] + head["classifier"]["bias"]
+
+        return logits_fn
+
+    def classify_patches(self, patches: np.ndarray) -> np.ndarray:
+        """→ predicted classes in 1..num_classes-1 (background dropped,
+        reference ``conductor.py:219-221``)."""
+        if patches.shape[0] == 0:
+            return np.zeros((0,), np.int64)
+        logits = self._logits_fn(self.head, self.encoder_vars, jnp.asarray(patches))
+        probs = jax.nn.softmax(logits, axis=-1)[:, 1:]
+        return np.asarray(jnp.argmax(probs, axis=-1) + 1)
+
+    def forward(self, image: np.ndarray) -> dict:
+        """image: (H, W, 3) in [0,1] → {"out": (1, H, W, C) one-hot painted
+        mask, "instances": (H, W) ids} (reference forward, ``:175-233``)."""
+        instances = self.proposer.propose(image)
+        patches, ids, _ = extract_instance_patches(image, instances)
+        out = np.zeros((1,) + image.shape[:2] + (self.num_classes,), np.float32)
+        if not ids:
+            return {"out": out, "instances": instances}
+        classes = self.classify_patches(patches)
+        for inst_id, cls in zip(ids, classes):
+            out[0, instances == inst_id, int(cls)] = 1.0
+        return {"out": out, "instances": instances}
+
+    def predict_mask(self, image: np.ndarray) -> np.ndarray:
+        """→ (H, W) class map (softmax-argmax over the painted one-hot —
+        equals its argmax; reference ``segmentor.py:536``)."""
+        return np.argmax(self.forward(image)["out"][0], axis=-1).astype(np.uint8)
+
+    # -- persistence ---------------------------------------------------------
+    def save(self, path: str):
+        save_pytree(path, {"head": self.head, "num_classes": self.num_classes})
+
+    def load(self, path: str):
+        ck = load_pytree(path)
+        assert ck["num_classes"] == self.num_classes
+        self.head = jax.tree_util.tree_map(jnp.asarray, ck["head"])
+
+
+class CellTrainer:
+    """AdamW lr 1e-4 over adapter+classifier with per-instance CE; best-val
+    micro-dice checkpointing (reference ``segmentor.py:243-299``)."""
+
+    def __init__(self, model: CellSegClassifier, lr: float = 1e-4):
+        self.model = model
+        self.tx = optax.adamw(lr)
+        self.opt_state = self.tx.init(model.head)
+        self.log = TextLogger()
+        self._step = self._make_step()
+
+    def _make_step(self):
+        model = self.model
+
+        @jax.jit
+        def step(head, opt_state, patches, labels):
+            def loss_fn(h):
+                feats = model.encoder.apply(model.encoder_vars, patches, train=False)
+                feats = jax.lax.stop_gradient(feats)
+                feats = jax.lax.conv_general_dilated(
+                    feats, h["adapter"]["kernel"], (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                ) + h["adapter"]["bias"]
+                feats = jnp.mean(feats, axis=(1, 2))
+                logits = feats @ h["classifier"]["kernel"] + h["classifier"]["bias"]
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)
+                return jnp.mean(nll)
+
+            loss, grads = jax.value_and_grad(loss_fn)(head)
+            updates, opt_state = self.tx.update(grads, opt_state, head)
+            return optax.apply_updates(head, updates), opt_state, loss
+
+        return step
+
+    @staticmethod
+    def instance_majority_labels(instances: np.ndarray, gt_mask: np.ndarray,
+                                 ids: Sequence[int]) -> np.ndarray:
+        return np.array(
+            [np.bincount(gt_mask[instances == i].reshape(-1)).argmax() for i in ids],
+            np.int32,
+        )
+
+    def train(self, train_pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
+              val_pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
+              epochs: int, save_dir: str = "train_save/cellclassifier") -> str:
+        """pairs: (image [0,1] (H,W,3), gt class mask (H,W)). Returns the
+        checkpoint path."""
+        date = time.strftime("%y_%m_%d")
+        out_dir = os.path.join(save_dir, date)
+        best = 0.0
+        path = os.path.join(out_dir, "cellclassifier.pkl")
+        # cache proposals once (the reference caches diffusion-augmented
+        # inputs similarly, segmentor.py:144-161)
+        cache = []
+        for img, gt in train_pairs:
+            inst = self.model.proposer.propose(img)
+            patches, ids, _ = extract_instance_patches(img, inst)
+            if ids:
+                labels = self.instance_majority_labels(inst, gt, ids)
+                cache.append((patches, labels))
+        for epoch in range(epochs):
+            total, n = 0.0, 0
+            for patches, labels in cache:
+                self.model.head, self.opt_state, loss = self._step(
+                    self.model.head, self.opt_state, jnp.asarray(patches),
+                    jnp.asarray(labels))
+                total += float(loss)
+                n += 1
+            self.log(f"Epoch {epoch + 1}/{epochs}, Loss: {total / max(n, 1):.4f}")
+
+            dice_total = 0.0
+            for img, gt in val_pairs:
+                pred = self.model.predict_mask(img)
+                _, avg = micro_dice(jnp.asarray(pred[None]), jnp.asarray(gt[None]),
+                                    self.model.num_classes)
+                dice_total += float(avg)
+            val_dice = dice_total / max(len(val_pairs), 1)
+            if val_dice > best:
+                best = val_dice
+                os.makedirs(out_dir, exist_ok=True)
+                self.model.save(path)
+                self.log(f"New Best Validation Dice Score: {val_dice:.4f}")
+            else:
+                self.log(f"Validation Dice Score: {val_dice:.4f}")
+        return path

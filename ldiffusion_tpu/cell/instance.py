@@ -1,0 +1,230 @@
+"""Cell instance proposers (the Cellpose replacement).
+
+The reference's cell path runs Cellpose ``cyto2`` instance segmentation
+(``model/conductor.py:156-180``) — CUDA/torch, no TPU port exists. Behind the
+``InstanceProposer`` interface (SURVEY §7.9) two TPU-native implementations:
+
+* ``DistanceWatershedProposer`` — classical, works without any weights:
+  intensity threshold → distance transform → local-maxima markers →
+  nearest-marker (geodesic-approximate) assignment. scipy.ndimage only.
+
+* ``FlowNetProposer`` — a cellpose-style flow-field model: a DynUNet
+  predicts (flow_y, flow_x, cell probability); pixels follow the flow field
+  for a fixed number of Euler steps (a jitted ``lax.fori_loop`` — the
+  sequential integration the reference runs in CUDA), and endpoints cluster
+  into instances via connected components on the host. Ships with flow
+  ground-truth generation (center-directed normalized displacement) so the
+  net is trainable from instance masks.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Protocol, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import ndimage
+
+from ldiffusion_tpu.models.dynunet import DynUNet, DynUNetConfig
+
+
+class InstanceProposer(Protocol):
+    def propose(self, image: np.ndarray) -> np.ndarray:
+        """image: (H, W, 3) float in [0,1] → (H, W) int32 instance ids
+        (0 = background)."""
+        ...
+
+
+# ---------------------------------------------------------------------------
+# Classical proposer
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class DistanceWatershedProposer:
+    """Threshold + distance-transform watershed approximation.
+
+    Nearest-marker assignment via ``distance_transform_edt``'s return_indices
+    restricted to the foreground mask — a Voronoi partition of the mask seeded
+    at distance-transform maxima (marker-based watershed behavior for convex
+    blobs, which nuclei approximately are)."""
+
+    threshold: Optional[float] = None   # None: Otsu-style automatic
+    min_distance: int = 5               # marker suppression radius
+    min_size: int = 15                  # drop tiny instances
+
+    def propose(self, image: np.ndarray) -> np.ndarray:
+        gray = image.mean(axis=-1) if image.ndim == 3 else image
+        thr = self.threshold if self.threshold is not None else _otsu(gray)
+        # nuclei are dark on H&E-like stains; segment the darker phase if it
+        # is the minority, else the brighter one
+        fg = gray < thr
+        if fg.mean() > 0.5:
+            fg = ~fg
+        fg = ndimage.binary_opening(fg, iterations=1)
+        if not fg.any():
+            return np.zeros(gray.shape, np.int32)
+        dist = ndimage.distance_transform_edt(fg)
+        # local maxima as markers
+        footprint = np.ones((2 * self.min_distance + 1,) * 2)
+        maxima = (dist == ndimage.maximum_filter(dist, footprint=footprint)) & (dist > 1)
+        markers, n = ndimage.label(maxima)
+        if n == 0:
+            markers, n = ndimage.label(fg)
+            return _filter_small(markers.astype(np.int32), self.min_size)
+        # centroid per marker region → single seed point
+        seeds = np.zeros_like(markers)
+        for idx, (cy, cx) in enumerate(
+                ndimage.center_of_mass(maxima, markers, range(1, n + 1)), start=1):
+            seeds[int(round(cy)), int(round(cx))] = idx
+        # nearest-seed assignment within the mask
+        _, (iy, ix) = ndimage.distance_transform_edt(seeds == 0, return_indices=True)
+        labels = seeds[iy, ix]
+        labels[~fg] = 0
+        return _filter_small(labels.astype(np.int32), self.min_size)
+
+
+def _otsu(gray: np.ndarray) -> float:
+    hist, edges = np.histogram(gray.reshape(-1), bins=128)
+    centers = (edges[:-1] + edges[1:]) / 2
+    total = hist.sum()
+    w0 = np.cumsum(hist)
+    w1 = total - w0
+    m0 = np.cumsum(hist * centers) / np.maximum(w0, 1)
+    m1 = (np.sum(hist * centers) - np.cumsum(hist * centers)) / np.maximum(w1, 1)
+    between = w0 * w1 * (m0 - m1) ** 2
+    return float(centers[int(np.argmax(between))])
+
+
+def _filter_small(labels: np.ndarray, min_size: int) -> np.ndarray:
+    ids, counts = np.unique(labels, return_counts=True)
+    kill = ids[(counts < min_size) & (ids != 0)]
+    if kill.size:
+        labels[np.isin(labels, kill)] = 0
+    # re-densify ids
+    ids = np.unique(labels)
+    remap = np.zeros(labels.max() + 1, np.int32)
+    remap[ids] = np.arange(len(ids))
+    return remap[labels]
+
+
+# ---------------------------------------------------------------------------
+# Flow-field proposer (cellpose-style, trainable)
+# ---------------------------------------------------------------------------
+
+def masks_to_flows(masks: np.ndarray) -> np.ndarray:
+    """Instance masks → (H, W, 3): [flow_y, flow_x, cellprob] ground truth.
+    Flows point toward each instance's median center (cellpose's training
+    target, computed from masks — no external dependency)."""
+    h, w = masks.shape
+    flows = np.zeros((h, w, 3), np.float32)
+    for i in np.unique(masks):
+        if i == 0:
+            continue
+        ys, xs = np.nonzero(masks == i)
+        cy, cx = np.median(ys), np.median(xs)
+        dy, dx = cy - ys, cx - xs
+        norm = np.sqrt(dy ** 2 + dx ** 2) + 1e-6
+        flows[ys, xs, 0] = dy / norm
+        flows[ys, xs, 1] = dx / norm
+        flows[ys, xs, 2] = 1.0
+    return flows
+
+
+@partial(jax.jit, static_argnames=("n_iter",))
+def follow_flows(flows: jax.Array, cellprob: jax.Array, n_iter: int = 200,
+                 prob_threshold: float = 0.5):
+    """Euler-integrate pixels along the flow field (jitted fori_loop — the
+    TPU analog of cellpose's sequential flow dynamics). flows: (H, W, 2)
+    [dy, dx]; returns final (y, x) positions per pixel, (H, W, 2)."""
+    h, w = cellprob.shape
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    pos0 = jnp.stack([yy, xx], axis=-1)
+
+    def bilinear(field, y, x):
+        return jnp.stack([
+            jax.scipy.ndimage.map_coordinates(field[..., c], [y, x], order=1,
+                                              mode="nearest")
+            for c in range(field.shape[-1])
+        ], axis=-1)
+
+    def body(_, pos):
+        f = bilinear(flows, pos[..., 0], pos[..., 1])
+        pos = pos + f
+        return jnp.stack([jnp.clip(pos[..., 0], 0, h - 1),
+                          jnp.clip(pos[..., 1], 0, w - 1)], axis=-1)
+
+    pos = jax.lax.fori_loop(0, n_iter, body, pos0)
+    mask = cellprob > prob_threshold
+    return jnp.where(mask[..., None], pos, pos0)
+
+
+def cluster_endpoints(pos: np.ndarray, cellprob: np.ndarray,
+                      prob_threshold: float = 0.5, min_size: int = 15) -> np.ndarray:
+    """Round converged positions to pixels, mark sink cells, and label the
+    fg pixels by the connected component of their sink."""
+    h, w = cellprob.shape
+    fg = cellprob > prob_threshold
+    sinks = np.zeros((h, w), bool)
+    py = np.clip(np.round(pos[..., 0]).astype(np.int64), 0, h - 1)
+    px = np.clip(np.round(pos[..., 1]).astype(np.int64), 0, w - 1)
+    sinks[py[fg], px[fg]] = True
+    sinks = ndimage.binary_dilation(sinks, iterations=1)
+    sink_labels, _ = ndimage.label(sinks)
+    labels = np.zeros((h, w), np.int32)
+    labels[fg] = sink_labels[py[fg], px[fg]]
+    return _filter_small(labels, min_size)
+
+
+@dataclasses.dataclass
+class FlowNetProposer:
+    """Trainable cellpose-style proposer: DynUNet → flows → integrate →
+    cluster."""
+
+    params: dict
+    net: DynUNet
+    n_iter: int = 200
+    prob_threshold: float = 0.5
+    min_size: int = 15
+
+    @classmethod
+    def create(cls, rng=None, features=(32, 64, 128, 256), **kw) -> "FlowNetProposer":
+        cfg = DynUNetConfig(in_channels=3, num_classes=3,
+                            features_per_stage=features,
+                            strides=(1,) + (2,) * (len(features) - 1),
+                            deep_supervision=False)
+        net = DynUNet(cfg)
+        rng = jax.random.key(0) if rng is None else rng
+        params = net.init(rng, jnp.zeros((1, 64, 64, 3)))["params"]
+        return cls(params=params, net=net, **kw)
+
+    def predict_flows(self, image: np.ndarray) -> np.ndarray:
+        out = self.net.apply({"params": self.params},
+                             jnp.asarray(image)[None], train=False)[0]
+        return np.asarray(out)
+
+    def propose(self, image: np.ndarray) -> np.ndarray:
+        out = self.predict_flows(image)
+        # net regresses 5x-scaled flows (cellpose convention); unscale here
+        flows, cellprob = out[..., :2] / 5.0, jax.nn.sigmoid(jnp.asarray(out[..., 2]))
+        pos = follow_flows(jnp.asarray(flows), cellprob, self.n_iter,
+                           self.prob_threshold)
+        return cluster_endpoints(np.asarray(pos), np.asarray(cellprob),
+                                 self.prob_threshold, self.min_size)
+
+    # -- training -----------------------------------------------------------
+    def loss_fn(self, params, images, flow_targets):
+        """images: (B,H,W,3); flow_targets: (B,H,W,3) from masks_to_flows.
+        Cellpose objective: L2 on flows (×5) + BCE on cellprob."""
+        out = self.net.apply({"params": params}, images, train=False)
+        flow_l2 = jnp.mean((out[..., :2] - flow_targets[..., :2] * 5.0) ** 2)
+        logits = out[..., 2]
+        tgt = flow_targets[..., 2]
+        bce = jnp.mean(optax_sigmoid_bce(logits, tgt))
+        return flow_l2 + bce
+
+
+def optax_sigmoid_bce(logits, targets):
+    return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))

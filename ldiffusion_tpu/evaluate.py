@@ -1,0 +1,140 @@
+"""Offline evaluation CLI — Dice / IoU / mPA / FWIoU over predicted vs GT PNGs.
+
+Behavioral contract: reference ``evaluate.py:1-139``: folder-level evaluation
+of prediction PNGs against ground-truth PNGs — per-image micro-dice (with the
+empty-class=1 convention), per-class IoU (absent classes excluded from the
+mean), pixel accuracy, frequency-weighted IoU; means + per-class breakdown
+written to ``metrics_<timestamp>.txt``.
+
+Metrics are computed in one pass from a confusion matrix per image
+(vectorized; the reference loops per class in torch).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from ldiffusion_tpu.data.labels import convert_labels
+
+
+def confusion_matrix(pred: np.ndarray, gt: np.ndarray, num_classes: int) -> np.ndarray:
+    idx = gt.astype(np.int64) * num_classes + pred.astype(np.int64)
+    cm = np.bincount(idx.reshape(-1), minlength=num_classes * num_classes)
+    return cm.reshape(num_classes, num_classes)  # rows: gt, cols: pred
+
+
+def metrics_from_cm(cm: np.ndarray) -> Dict:
+    tp = np.diag(cm).astype(np.float64)
+    fp = cm.sum(0) - tp
+    fn = cm.sum(1) - tp
+    support = cm.sum(1)
+
+    # micro dice with empty-class=1 convention (reference utils.py:55-82)
+    denom = 2 * tp + fp + fn
+    dice = np.where(denom > 0, 2 * tp / np.maximum(denom, 1e-8), 1.0)
+
+    union = tp + fp + fn
+    iou = np.where(union > 0, tp / np.maximum(union, 1e-8), np.nan)
+    present = union > 0
+    mean_iou = float(np.nanmean(iou)) if present.any() else 1.0
+
+    pixel_acc = float(tp.sum() / max(cm.sum(), 1))
+    freq = support / max(cm.sum(), 1)
+    fwiou = float(np.nansum(freq[present] * iou[present]))
+
+    return {
+        "dice_per_class": dice,
+        "mean_dice": float(dice.mean()),
+        "iou_per_class": iou,
+        "mean_iou": mean_iou,
+        "pixel_accuracy": pixel_acc,
+        "fwiou": fwiou,
+    }
+
+
+def _load_mask(path: str, level: Optional[str], convert: bool) -> np.ndarray:
+    arr = np.asarray(Image.open(path).convert("L"), np.uint8)
+    if convert and level:
+        return convert_labels(arr, level)
+    return arr
+
+
+def evaluate(pred_dir: str, gt_dir: str, num_classes: int, level: Optional[str] = "tissue",
+             convert_gt: bool = True, convert_pred: bool = False,
+             output_dir: str = "eval_report") -> Dict:
+    """Folder-level evaluation (reference ``evaluate.py:48-126``). Files are
+    paired by sorted order. GT PNGs use the PUMA pixel convention and are
+    converted via the label map; predictions are class ids by default."""
+    preds = sorted(f for f in os.listdir(pred_dir) if f.lower().endswith(".png"))
+    gts = sorted(f for f in os.listdir(gt_dir) if f.lower().endswith(".png"))
+    assert len(preds) == len(gts), f"{len(preds)} predictions vs {len(gts)} GTs"
+
+    per_image: List[Dict] = []
+    total_cm = np.zeros((num_classes, num_classes), np.int64)
+    for pf, gf in zip(preds, gts):
+        pred = _load_mask(os.path.join(pred_dir, pf), level, convert_pred)
+        gt = _load_mask(os.path.join(gt_dir, gf), level, convert_gt)
+        if pred.shape != gt.shape:
+            pred = np.asarray(
+                Image.fromarray(pred).resize((gt.shape[1], gt.shape[0]), Image.NEAREST))
+        cm = confusion_matrix(np.clip(pred, 0, num_classes - 1),
+                              np.clip(gt, 0, num_classes - 1), num_classes)
+        total_cm += cm
+        per_image.append({"file": pf, **metrics_from_cm(cm)})
+
+    mean = {
+        "mean_dice": float(np.mean([m["mean_dice"] for m in per_image])),
+        "mean_iou": float(np.mean([m["mean_iou"] for m in per_image])),
+        "mean_pixel_accuracy": float(np.mean([m["pixel_accuracy"] for m in per_image])),
+        "mean_fwiou": float(np.mean([m["fwiou"] for m in per_image])),
+    }
+    pooled = metrics_from_cm(total_cm)
+    report = {"per_image": per_image, "mean": mean, "pooled": pooled,
+              "num_images": len(per_image)}
+
+    os.makedirs(output_dir, exist_ok=True)
+    ts = time.strftime("%Y%m%d_%H%M%S")
+    path = os.path.join(output_dir, f"metrics_{ts}.txt")
+    with open(path, "w") as f:
+        f.write(f"Evaluation report ({len(per_image)} images)\n")
+        f.write(f"pred: {pred_dir}\ngt:   {gt_dir}\n\n")
+        for k, v in mean.items():
+            f.write(f"{k}: {v:.4f}\n")
+        f.write("\nPer-class (pooled):\n")
+        for c in range(num_classes):
+            iou = pooled["iou_per_class"][c]
+            f.write(f"  class {c}: dice={pooled['dice_per_class'][c]:.4f} "
+                    f"iou={'n/a' if np.isnan(iou) else f'{iou:.4f}'}\n")
+        f.write("\nPer-image:\n")
+        for m in per_image:
+            f.write(f"  {m['file']}: dice={m['mean_dice']:.4f} iou={m['mean_iou']:.4f} "
+                    f"pa={m['pixel_accuracy']:.4f} fwiou={m['fwiou']:.4f}\n")
+    report["report_path"] = path
+    return report
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Offline segmentation metrics "
+                                            "(Dice/IoU/mPA/FWIoU)")
+    p.add_argument("--pred-dir", required=True)
+    p.add_argument("--gt-dir", required=True)
+    p.add_argument("--num-classes", type=int, required=True)
+    p.add_argument("--level", default="tissue", choices=["tissue", "cell"])
+    p.add_argument("--output-dir", default="eval_report")
+    args = p.parse_args(argv)
+    report = evaluate(args.pred_dir, args.gt_dir, args.num_classes, args.level,
+                      output_dir=args.output_dir)
+    print(f"mean dice {report['mean']['mean_dice']:.4f}  "
+          f"mean IoU {report['mean']['mean_iou']:.4f}  "
+          f"mPA {report['mean']['mean_pixel_accuracy']:.4f}  "
+          f"FWIoU {report['mean']['mean_fwiou']:.4f}")
+    print(f"report: {report['report_path']}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""Cell path: instance proposers, patch classifier, trainer."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ldiffusion_tpu.cell.classifier import (
+    CellSegClassifier,
+    CellTrainer,
+    extract_instance_patches,
+)
+from ldiffusion_tpu.cell.instance import (
+    DistanceWatershedProposer,
+    FlowNetProposer,
+    cluster_endpoints,
+    follow_flows,
+    masks_to_flows,
+)
+from ldiffusion_tpu.models.resnet import ResNetConfig
+
+
+def _synthetic_cells(size=96, n_blobs=4, seed=0):
+    """Dark circular blobs on a bright background (H&E-ish)."""
+    rng = np.random.default_rng(seed)
+    img = np.ones((size, size, 3), np.float32) * 0.9
+    inst = np.zeros((size, size), np.int32)
+    yy, xx = np.mgrid[:size, :size]
+    centers = []
+    for i in range(1, n_blobs + 1):
+        while True:
+            cy, cx = rng.integers(15, size - 15, 2)
+            if all((cy - y) ** 2 + (cx - x) ** 2 > 28 ** 2 for y, x in centers):
+                break
+        centers.append((cy, cx))
+        mask = (yy - cy) ** 2 + (xx - cx) ** 2 < 8 ** 2
+        img[mask] = 0.25 + 0.05 * rng.random(3)
+        inst[mask] = i
+    return img, inst
+
+
+def test_watershed_proposer_finds_blobs():
+    img, inst = _synthetic_cells()
+    prop = DistanceWatershedProposer(min_size=10)
+    pred = prop.propose(img)
+    n_found = len(np.unique(pred)) - 1
+    assert 3 <= n_found <= 6  # ~4 blobs
+    # found instances overlap true ones
+    overlap = ((pred > 0) & (inst > 0)).sum() / max((inst > 0).sum(), 1)
+    assert overlap > 0.6
+
+
+def test_watershed_proposer_empty_image():
+    img = np.ones((32, 32, 3), np.float32)
+    pred = DistanceWatershedProposer().propose(img)
+    assert pred.max() == 0
+
+
+def test_masks_to_flows_and_integration():
+    _, inst = _synthetic_cells(n_blobs=2)
+    flows = masks_to_flows(inst)
+    assert flows.shape == inst.shape + (3,)
+    # flow magnitude ≈1 inside cells, 0 outside
+    mag = np.sqrt(flows[..., 0] ** 2 + flows[..., 1] ** 2)
+    assert mag[inst > 0].mean() > 0.9
+    assert mag[inst == 0].max() == 0
+    # integrating GT flows reconstructs the instances
+    pos = follow_flows(jnp.asarray(flows[..., :2]), jnp.asarray(flows[..., 2]),
+                       n_iter=50)
+    labels = cluster_endpoints(np.asarray(pos), flows[..., 2], min_size=10)
+    n = len(np.unique(labels)) - 1
+    assert n == 2
+
+
+def test_flownet_proposer_runs():
+    prop = FlowNetProposer.create(features=(8, 16))
+    img, _ = _synthetic_cells(size=64, n_blobs=2)
+    out = prop.propose(img)
+    assert out.shape == (64, 64)
+    # untrained net: just shape/type sanity
+    assert out.dtype == np.int32
+
+
+def test_extract_instance_patches():
+    img, inst = _synthetic_cells()
+    patches, ids, boxes = extract_instance_patches(img, inst)
+    assert patches.shape[1:] == (64, 64, 3)
+    assert len(ids) == len(boxes) == patches.shape[0] == 4
+    # tiny instances skipped
+    inst2 = np.zeros_like(inst)
+    inst2[0:2, 0:2] = 1
+    p2, ids2, _ = extract_instance_patches(img, inst2)
+    assert len(ids2) == 0
+
+
+def test_cell_classifier_forward_and_train(tmp_path):
+    img, inst = _synthetic_cells()
+    gt = (inst > 0).astype(np.int32)  # class 1 everywhere a cell is
+    model = CellSegClassifier(num_classes=3, encoder_cfg=ResNetConfig.tiny())
+    out = model.forward(img)
+    assert out["out"].shape == (1, 96, 96, 3)
+    # painted mask only uses classes >= 1
+    assert out["out"][0, :, :, 0].max() == 0
+
+    trainer = CellTrainer(model)
+    path = trainer.train([(img, gt)], [(img, gt)], epochs=2,
+                         save_dir=str(tmp_path))
+    assert path.endswith("cellclassifier.pkl")
+    import os
+    assert os.path.exists(path)
+
+    # load into fresh model
+    m2 = CellSegClassifier(num_classes=3, encoder_cfg=ResNetConfig.tiny())
+    m2.load(path)
+    mask = m2.predict_mask(img)
+    assert mask.shape == (96, 96)
+
+
+def test_classifier_training_reduces_loss():
+    img, inst = _synthetic_cells(n_blobs=4)
+    gt = (inst > 0).astype(np.int32) * 2  # all cells are class 2
+    model = CellSegClassifier(num_classes=4, encoder_cfg=ResNetConfig.tiny())
+    trainer = CellTrainer(model, lr=1e-2)
+    patches, ids, _ = extract_instance_patches(img, model.proposer.propose(img))
+    if len(ids) == 0:
+        pytest.skip("proposer found nothing on synthetic data")
+    inst_pred = model.proposer.propose(img)
+    labels = trainer.instance_majority_labels(inst_pred, gt, ids)
+    losses = []
+    for _ in range(20):
+        model.head, trainer.opt_state, loss = trainer._step(
+            model.head, trainer.opt_state, jnp.asarray(patches), jnp.asarray(labels))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5  # actually learns (reference didn't)
