@@ -19,6 +19,13 @@ import time
 os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.95")
 
 import jax
+
+# persistent compile cache: tunnel compiles of the SD-sized pipeline are
+# minutes-slow; cached reruns start in seconds
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 from ldiffusion_tpu.diffusion.pipeline import SDComponents, apply_proj

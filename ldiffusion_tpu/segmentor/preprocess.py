@@ -41,6 +41,48 @@ def zscore_normalize(image: np.ndarray) -> np.ndarray:
     return ((image - mean) / np.maximum(std, 1e-8)).astype(np.float32)
 
 
+def ct_normalize(image: np.ndarray, intensity_props: Dict) -> np.ndarray:
+    """``CTNormalization`` (reference ``default_normalization_schemes.py:43-63``):
+    clip to fingerprint percentiles, z-score with fingerprint mean/std."""
+    out = np.empty_like(image, np.float32)
+    for c in range(image.shape[-1]):
+        p = intensity_props[str(c)]
+        x = np.clip(image[..., c], p["percentile_00_5"], p["percentile_99_5"])
+        out[..., c] = (x - p["mean"]) / max(p["std"], 1e-8)
+    return out
+
+
+def rescale_to_01(image: np.ndarray) -> np.ndarray:
+    """``RescaleTo01Normalization`` (reference ``:66-75``)."""
+    mn = image.min(axis=(0, 1), keepdims=True)
+    mx = image.max(axis=(0, 1), keepdims=True)
+    return ((image - mn) / np.maximum(mx - mn, 1e-8)).astype(np.float32)
+
+
+def rgb_to_01(image: np.ndarray) -> np.ndarray:
+    """``RGBTo01Normalization``: assumes uint8-range input (reference ``:78-87``)."""
+    return (image / 255.0).astype(np.float32)
+
+
+def no_norm(image: np.ndarray) -> np.ndarray:
+    """``NoNormalization`` (reference ``:90-92``)."""
+    return image.astype(np.float32)
+
+
+NORMALIZATION_SCHEMES = {
+    "zscore_image": lambda img, props: zscore_normalize(img),
+    "ct": ct_normalize,
+    "rescale_to_01": lambda img, props: rescale_to_01(img),
+    "rgb_to_01": lambda img, props: rgb_to_01(img),
+    "none": lambda img, props: no_norm(img),
+}
+
+
+def normalize(image: np.ndarray, scheme: str = "zscore_image",
+              intensity_props: Optional[Dict] = None) -> np.ndarray:
+    return NORMALIZATION_SCHEMES[scheme](image, intensity_props or {})
+
+
 def sample_fg_locations(seg: np.ndarray, num_classes: int, seed: int = 1234,
                         per_class: int = FG_LOCS_PER_CLASS) -> Dict[int, np.ndarray]:
     """≤per_class (y, x) samples per foreground class (reference
