@@ -1,0 +1,115 @@
+"""Fused GroupNorm(+SiLU) Pallas kernel with XLA fallback.
+
+Every SD ResnetBlock runs GroupNorm→SiLU→Conv (``models/layers.py``); XLA
+fuses most of this chain, but the two-pass mean/var reduction still costs an
+extra HBM round-trip at large channel counts. The Pallas kernel computes the
+statistics and applies normalize+affine+SiLU in one VMEM residency per batch
+row.
+
+MXU-friendly statistics: per-group sums come from two small matmuls —
+``ones(1,HW) @ x → (1,C)`` and ``(1,C) @ group_onehot(C,G) → (1,G)`` — so
+the reduction runs on the systolic array instead of a long VPU tree.
+
+Dispatch: kernel handles rows that fit VMEM ((HW, C) ≤ ~8MB, e.g. every
+UNet GroupNorm at 64×64 latents); larger inputs (VAE at image resolution)
+fall back to XLA. Gradients flow through the XLA path (the kernel is used
+for inference/benchmark paths; training uses XLA where autodiff is needed).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_MODE = "auto"  # "auto" | "xla" | "pallas" | "pallas_interpret"
+
+
+def set_groupnorm_mode(mode: str) -> None:
+    global _MODE
+    assert mode in ("auto", "xla", "pallas", "pallas_interpret")
+    _MODE = mode
+
+
+def _xla_groupnorm_silu(x, scale, bias, groups: int, eps: float, silu: bool):
+    b, h, w, c = x.shape
+    xg = x.reshape(b, h * w, groups, c // groups).astype(jnp.float32)
+    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+    var = jnp.var(xg, axis=(1, 3), keepdims=True)
+    y = (xg - mean) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(b, h, w, c) * scale + bias
+    if silu:
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
+
+
+def _gn_kernel(x_ref, scale_ref, bias_ref, onehot_ref, o_ref, *, eps, silu, groups):
+    x = x_ref[0].astype(jnp.float32)            # (HW, C)
+    hw, c = x.shape
+    onehot = onehot_ref[...]                     # (C, G) f32
+    ones = jnp.ones((1, hw), jnp.float32)
+    csum = jax.lax.dot_general(ones, x, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)      # (1, C)
+    csumsq = jax.lax.dot_general(ones, x * x, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)    # (1, C)
+    gsum = jax.lax.dot_general(csum, onehot, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)      # (1, G)
+    gsumsq = jax.lax.dot_general(csumsq, onehot, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    n = hw * (c // groups)
+    mean_g = gsum / n                                                    # (1, G)
+    var_g = gsumsq / n - mean_g * mean_g
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    # broadcast group stats back to channels: (1,G) @ (G,C)
+    mean_c = jax.lax.dot_general(mean_g, onehot.T, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)    # (1, C)
+    rstd_c = jax.lax.dot_general(rstd_g, onehot.T, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    scale = scale_ref[...].astype(jnp.float32)   # (1, C)
+    bias = bias_ref[...].astype(jnp.float32)
+    mul = rstd_c * scale
+    add = bias - mean_c * mul
+    y = x * mul + add
+    if silu:
+        y = y * jax.nn.sigmoid(y)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "eps", "silu", "interpret"))
+def _pallas_groupnorm_silu(x, scale, bias, groups, eps, silu, interpret=False):
+    b, h, w, c = x.shape
+    hw = h * w
+    x2 = x.reshape(b, hw, c)
+    onehot = jnp.asarray(np.kron(np.eye(groups, dtype=np.float32),
+                                 np.ones((c // groups, 1), np.float32)))  # (C, G)
+    out = pl.pallas_call(
+        functools.partial(_gn_kernel, eps=eps, silu=silu, groups=groups),
+        out_shape=jax.ShapeDtypeStruct((b, hw, c), x.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, groups), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x2, scale.reshape(1, c), bias.reshape(1, c), onehot)
+    return out.reshape(b, h, w, c)
+
+
+def groupnorm_silu(x, scale, bias, groups: int = 32, eps: float = 1e-5,
+                   silu: bool = True):
+    """x: (B, H, W, C); scale/bias: (C,). Fused GroupNorm [+ SiLU]."""
+    b, h, w, c = x.shape
+    mode = _MODE
+    if mode == "auto":
+        fits = (h * w * c * 4) <= 8 * 1024 * 1024 and c % 128 == 0 and (h * w) % 8 == 0
+        mode = "pallas" if (jax.default_backend() == "tpu" and fits) else "xla"
+    if mode == "xla":
+        return _xla_groupnorm_silu(x, scale, bias, groups, eps, silu)
+    return _pallas_groupnorm_silu(x, scale, bias, groups, eps, silu,
+                                  interpret=(mode == "pallas_interpret"))
