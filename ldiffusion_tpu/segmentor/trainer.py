@@ -164,11 +164,14 @@ class SegmentorTrainer:
                      num_epochs: Optional[int] = None):
         cfg = self.cfg
         num_epochs = num_epochs or cfg.num_epochs
-        train_iter = iter(PatchSampler(train_ds, self.plan.patch_size,
-                                       self.plan.batch_size, cfg.oversample_fg,
-                                       seed=cfg.seed))
-        val_iter = iter(PatchSampler(val_ds, self.plan.patch_size, self.plan.batch_size,
-                                     cfg.oversample_fg, seed=cfg.seed + 1))
+        from ldiffusion_tpu.data.prefetch import Prefetcher
+
+        train_iter = Prefetcher(iter(PatchSampler(
+            train_ds, self.plan.patch_size, self.plan.batch_size,
+            cfg.oversample_fg, seed=cfg.seed)))
+        val_iter = Prefetcher(iter(PatchSampler(
+            val_ds, self.plan.patch_size, self.plan.batch_size,
+            cfg.oversample_fg, seed=cfg.seed + 1)))
         key = jax.random.key(cfg.seed)
         os.makedirs(self.output_dir, exist_ok=True)
 
@@ -224,6 +227,8 @@ class SegmentorTrainer:
                 self.save_checkpoint(os.path.join(self.output_dir, "checkpoint_latest.pkl"))
             self.epoch_log.plot_progress(os.path.join(self.output_dir, "progress.png"))
 
+        train_iter.close()
+        val_iter.close()
         self.save_checkpoint(os.path.join(self.output_dir, "checkpoint_final.pkl"))
 
     # ------------------------------------------------------------------
