@@ -39,13 +39,45 @@ IMAGE = 512
 STEPS = 5
 
 
+def _zeros_like_tree(shapes):
+    return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+
 def build(batch: int):
-    # full SD-v1.5 sized components, random weights (throughput-identical)
-    comps = SDComponents.random(
-        jax.random.key(0), dtype=jnp.bfloat16, image_size=IMAGE,
-        unet_config=UNet2DConditionConfig.sd15(),
-        vae_config=VAEConfig.sd15(),
-        text_config=CLIPTextConfig.sd15(),
+    # full SD-v1.5 sized components; weights are zeros via eval_shape — the
+    # compiled program (and therefore throughput) is identical to real
+    # weights, and we skip the ~8-minute on-device random-init programs.
+    import dataclasses as _dc
+
+    from ldiffusion_tpu.diffusion.pipeline import init_proj
+    from ldiffusion_tpu.models.clip_text import CLIPTextEncoder
+    from ldiffusion_tpu.models.unet import UNet2DCondition
+    from ldiffusion_tpu.models.vae import AutoencoderKL
+
+    unet_cfg = UNet2DConditionConfig.sd15()
+    vae_cfg = VAEConfig.sd15()
+    text_cfg = CLIPTextConfig.sd15()
+    unet = UNet2DCondition(unet_cfg, dtype=jnp.bfloat16)
+    vae = AutoencoderKL(vae_cfg, dtype=jnp.bfloat16)
+    text = CLIPTextEncoder(text_cfg, dtype=jnp.bfloat16)
+    ls = IMAGE // 8
+    unet_shapes = jax.eval_shape(
+        unet.init, jax.random.key(0), jnp.zeros((1, ls, ls, 4)), jnp.int32(1),
+        jnp.zeros((1, 5, unet_cfg.cross_attention_dim)))
+    vae_shapes = jax.eval_shape(vae.init, jax.random.key(0),
+                                jnp.zeros((1, IMAGE, IMAGE, 3)))
+    text_shapes = jax.eval_shape(text.init, jax.random.key(0),
+                                 jnp.zeros((1, 5), jnp.int32))
+    # one jitted program materializes every zero leaf — a single dispatch
+    # (per-leaf jnp.zeros costs one tunnel round-trip each, ~700 of them)
+    shapes = {"unet": unet_shapes["params"], "vae": vae_shapes["params"],
+              "text": text_shapes["params"]}
+    params = jax.jit(lambda: _zeros_like_tree(shapes))()
+    params["proj"] = init_proj(jax.random.key(1), text_cfg.hidden_size,
+                               unet_cfg.cross_attention_dim)
+    comps = SDComponents(
+        unet_config=unet_cfg, vae_config=vae_cfg, text_config=text_cfg,
+        unet=unet, vae=vae, text=text, params=params,
     )
     sch = PNDMScheduler()
     ts = sch.set_timesteps(STEPS)
@@ -74,24 +106,52 @@ def build(batch: int):
                                method=comps.vae.decode_latents)
 
     fn = jax.jit(pipeline, donate_argnums=())
-    return comps, fn
+
+    def pipeline_repeat(params, images, key, iters):
+        """iters pipeline invocations as one on-device scan — a single
+        dispatch, so the tunnel round-trip latency (~0.5s) doesn't pollute
+        the throughput measurement."""
+        def body(carry, k):
+            return carry, jnp.mean(pipeline(params, images, k))
+
+        _, outs = jax.lax.scan(body, 0, jax.random.split(key, iters))
+        return outs
+
+    rep = jax.jit(pipeline_repeat, static_argnames=("iters",))
+    return comps, fn, rep
 
 
 def run(batch: int, iters: int = 8):
-    comps, fn = build(batch)
-    images = jnp.zeros((batch, IMAGE, IMAGE, 3), jnp.float32)
-    key = jax.random.key(0)
-    out = fn(comps.params, images, key)  # compile + warmup
-    out.block_until_ready()
     t0 = time.perf_counter()
-    for i in range(iters):
-        out = fn(comps.params, images, jax.random.fold_in(key, i))
+    comps, fn, rep = build(batch)
+    print(f"build done {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
+    import numpy as np
+
+    images = jnp.asarray(
+        np.random.default_rng(0).normal(size=(batch, IMAGE, IMAGE, 3)).astype(np.float32))
+    key = jax.random.key(0)
+    t0 = time.perf_counter()
+    out = rep(comps.params, images, key, iters)  # compile + warmup
+    out.block_until_ready()
+    print(f"pipeline compile+warmup {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    out = rep(comps.params, images, jax.random.fold_in(key, 1), iters)
     out.block_until_ready()
     dt = time.perf_counter() - t0
     return batch * iters / dt
 
 
 def main():
+    # the single-chip lease may be held by a recently-exited process; retry
+    # registration until it frees (tools/tpu_claim.py)
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from tpu_claim import claim_tpu
+
+        claim_tpu(max_wait=int(os.environ.get("BENCH_CLAIM_WAIT", "600")))
+    except Exception as e:
+        print(f"claim_tpu: {e}; proceeding on default backend", file=sys.stderr)
     batch = int(os.environ.get("BENCH_BATCH", "4"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     best = 0.0

@@ -260,7 +260,8 @@ class LDiffusionModel:
         return pil_out, out
 
     def inference_tissue(self, image_path, ldiffusion_weight, segmentor_weight,
-                         num_classes, output_path: Optional[str] = None):
+                         num_classes, output_path: Optional[str] = None,
+                         overwrite: bool = True):
         from ldiffusion_tpu.segmentor.planner import SegPlan
         from ldiffusion_tpu.segmentor.predictor import SlidingWindowPredictor
 
@@ -279,10 +280,14 @@ class LDiffusionModel:
                                  " be specified!")
             os.makedirs(output_path, exist_ok=True)
             for fn in sorted(os.listdir(image_path)):
+                out_png = os.path.join(output_path, os.path.splitext(fn)[0] + ".png")
+                if not overwrite and os.path.exists(out_png):
+                    # --continue_prediction semantics (reference
+                    # predict_from_raw_data.py:187-198): skip existing outputs
+                    continue
                 decoded, arr = self._transform_single(os.path.join(image_path, fn))
                 mask = predictor.predict(arr.astype(np.float32))
-                Image.fromarray(mask).save(
-                    os.path.join(output_path, os.path.splitext(fn)[0] + ".png"))
+                Image.fromarray(mask).save(out_png)
             return None, None
 
         decoded, arr = self._transform_single(image_path)

@@ -12,6 +12,7 @@ Metrics are computed in one pass from a confusion matrix per image
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import time
 from typing import Dict, List, Optional, Tuple
@@ -138,3 +139,60 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def compute_metrics_on_folder(pred_dir: str, gt_dir: str, num_classes: int,
+                              level: Optional[str] = None,
+                              output_file: Optional[str] = None) -> Dict:
+    """nnUNet-format validation summary (reference
+    ``evaluation/evaluate_predictions.py:77-264``): per-case tp/fp/fn/tn →
+    Dice/IoU per label, case means, and ``foreground_mean``; written to
+    ``summary.json``."""
+    preds = sorted(f for f in os.listdir(pred_dir) if f.lower().endswith(".png"))
+    gts = sorted(f for f in os.listdir(gt_dir) if f.lower().endswith(".png"))
+    assert len(preds) == len(gts)
+    metric_per_case = []
+    total_cm = np.zeros((num_classes, num_classes), np.int64)
+    for pf, gf in zip(preds, gts):
+        pred = _load_mask(os.path.join(pred_dir, pf), level, level is not None)
+        gt = _load_mask(os.path.join(gt_dir, gf), level, level is not None)
+        cm = confusion_matrix(np.clip(pred, 0, num_classes - 1),
+                              np.clip(gt, 0, num_classes - 1), num_classes)
+        total_cm += cm
+        tp = np.diag(cm).astype(float)
+        fp = cm.sum(0) - tp
+        fn = cm.sum(1) - tp
+        tn = cm.sum() - tp - fp - fn
+        metrics = {}
+        for c in range(num_classes):
+            denom = 2 * tp[c] + fp[c] + fn[c]
+            metrics[str(c)] = {
+                "Dice": float(2 * tp[c] / denom) if denom > 0 else float("nan"),
+                "IoU": float(tp[c] / (tp[c] + fp[c] + fn[c]))
+                       if (tp[c] + fp[c] + fn[c]) > 0 else float("nan"),
+                "TP": float(tp[c]), "FP": float(fp[c]),
+                "FN": float(fn[c]), "TN": float(tn[c]),
+                "n_pred": float(tp[c] + fp[c]), "n_ref": float(tp[c] + fn[c]),
+            }
+        metric_per_case.append({"prediction_file": pf, "reference_file": gf,
+                                "metrics": metrics})
+    # label means over cases (nan-aware) + foreground mean
+    mean: Dict[str, Dict[str, float]] = {}
+    for c in range(num_classes):
+        mean[str(c)] = {}
+        for key in ("Dice", "IoU"):
+            vals = [m["metrics"][str(c)][key] for m in metric_per_case]
+            vals = [v for v in vals if not np.isnan(v)]
+            mean[str(c)][key] = float(np.mean(vals)) if vals else float("nan")
+    fg_dice = [mean[str(c)]["Dice"] for c in range(1, num_classes)
+               if not np.isnan(mean[str(c)]["Dice"])]
+    summary = {
+        "metric_per_case": metric_per_case,
+        "mean": mean,
+        "foreground_mean": {"Dice": float(np.mean(fg_dice)) if fg_dice else float("nan")},
+    }
+    if output_file:
+        os.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)
+        with open(output_file, "w") as f:
+            json.dump(summary, f, indent=2)
+    return summary

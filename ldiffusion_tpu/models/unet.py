@@ -75,9 +75,14 @@ class UNet2DCondition(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, sample, timesteps, encoder_hidden_states):
+    def __call__(self, sample, timesteps, encoder_hidden_states,
+                 down_block_residuals=None, mid_residual=None):
         """sample: (B, H, W, C_in) latents; timesteps: () or (B,);
         encoder_hidden_states: (B, S_text, cross_attention_dim).
+        ``down_block_residuals``/``mid_residual`` are optional ControlNet
+        residuals added to the skip list / mid output (diffusers
+        ``down_block_additional_residuals`` semantics, used by the
+        reference's multimodal path ``segmentor.py:357-372``).
         Returns epsilon prediction, (B, H, W, C_out)."""
         cfg = self.config
         ch0 = cfg.block_out_channels[0]
@@ -110,11 +115,16 @@ class UNet2DCondition(nn.Module):
                 h = Downsample(ch, name=f"down_{i}_downsample", **common)(h)
                 residuals.append(h)
 
+        if down_block_residuals is not None:
+            residuals = [r + extra for r, extra in zip(residuals, down_block_residuals)]
+
         # ---- mid ----
         mid_ch = cfg.block_out_channels[-1]
         h = ResnetBlock(mid_ch, groups=cfg.norm_num_groups, name="mid_resnet_0", **common)(h, temb)
         h = Transformer2D(heads, mid_ch // heads, name="mid_attn", **common)(h, ctx)
         h = ResnetBlock(mid_ch, groups=cfg.norm_num_groups, name="mid_resnet_1", **common)(h, temb)
+        if mid_residual is not None:
+            h = h + mid_residual
 
         # ---- up ----
         rev_channels = list(reversed(cfg.block_out_channels))
