@@ -187,3 +187,46 @@ class CombinedLoss:
         dice = micro_dice_soft(logits, targets, self.num_classes, self.class_weights)
         ce = robust_cross_entropy(logits, targets, ignore_index=255)
         return self.dice_weight * dice + self.ce_weight * ce
+
+
+def binary_cross_entropy_with_logits(logits, targets, loss_mask=None):
+    """Elementwise BCE over region channels (reference
+    ``compound_losses.py:59-100`` uses torch BCEWithLogits)."""
+    bce = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    if loss_mask is not None:
+        m = loss_mask[..., None].astype(jnp.float32)
+        return jnp.sum(bce * m) / jnp.clip(jnp.sum(m) * logits.shape[-1], 1.0)
+    return jnp.mean(bce)
+
+
+def soft_dice_loss_sigmoid(logits, region_targets, loss_mask=None,
+                           batch_dice: bool = True, smooth: float = 1e-5,
+                           axis_name=None):
+    """Region-based soft dice with sigmoid nonlinearity (the dice half of
+    ``DC_and_BCE_loss``). region_targets: (B, H, W, R) binary maps."""
+    probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+    tgt = region_targets.astype(jnp.float32)
+    if loss_mask is not None:
+        m = loss_mask[..., None].astype(jnp.float32)
+        probs, tgt = probs * m, tgt * m
+    reduce_axes = (0, 1, 2) if batch_dice else (1, 2)
+    tp = jnp.sum(probs * tgt, axis=reduce_axes)
+    fp = jnp.sum(probs * (1 - tgt), axis=reduce_axes)
+    fn = jnp.sum((1 - probs) * tgt, axis=reduce_axes)
+    if axis_name is not None:
+        tp = jax.lax.psum(tp, axis_name)
+        fp = jax.lax.psum(fp, axis_name)
+        fn = jax.lax.psum(fn, axis_name)
+    dc = (2 * tp + smooth) / jnp.clip(2 * tp + fp + fn + smooth, 1e-8)
+    return 1.0 - jnp.mean(dc)
+
+
+def dc_and_bce_loss(logits, region_targets, loss_mask=None, axis_name=None,
+                    batch_dice: bool = True):
+    """Region-based compound (reference ``compound_losses.py:59-100``; the
+    fork swaps this for DC_and_Focal at ``nnUNetTrainer.py:350-355`` — both
+    are provided)."""
+    dc = soft_dice_loss_sigmoid(logits, region_targets, loss_mask,
+                                batch_dice=batch_dice, axis_name=axis_name)
+    bce = binary_cross_entropy_with_logits(logits, region_targets, loss_mask)
+    return dc + bce

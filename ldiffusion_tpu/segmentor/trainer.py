@@ -56,7 +56,14 @@ def poly_lr(initial_lr: float, epoch: int, max_epochs: int, exponent: float = 0.
 
 class SegmentorTrainer:
     def __init__(self, plan: SegPlan, config: SegmentorTrainConfig, mesh: MeshContext,
-                 output_dir: str = "train_save/segmentor", augment: Optional[AugmentConfig] = None):
+                 output_dir: str = "train_save/segmentor", augment: Optional[AugmentConfig] = None,
+                 variant=None):
+        # variant: a segmentor.variants.TrainerVariant — the config-space
+        # analog of nnUNet's trainer subclasses; overrides loss/lr/optimizer
+        self.variant = variant
+        if variant is not None:
+            config = variant.config
+            augment = augment or variant.augment
         self.plan = plan
         self.cfg = config
         self.mesh = mesh
@@ -76,12 +83,15 @@ class SegmentorTrainer:
         # lr is injected per-epoch (PolyLR); inject via optax schedule on step
         # count would misalign with the reference's per-epoch stepping, so the
         # optimizer reads lr from a mutable scale.
+        opt_name = getattr(self.variant, "optimizer", "sgd") if self.variant else "sgd"
+        if opt_name == "adam":
+            inner = lambda learning_rate: optax.adamw(learning_rate, weight_decay=0.0)
+        else:
+            inner = lambda learning_rate: optax.sgd(learning_rate, momentum=config.momentum,
+                                                    nesterov=True)
         self.tx = optax.chain(
             optax.clip_by_global_norm(config.grad_clip),
-            optax.inject_hyperparams(
-                lambda learning_rate: optax.sgd(learning_rate, momentum=config.momentum,
-                                                nesterov=True)
-            )(learning_rate=config.initial_lr),
+            optax.inject_hyperparams(inner)(learning_rate=config.initial_lr),
         )
         # torch SGD(weight_decay=3e-5) is coupled L2: add wd*param to the
         # grads before the sgd update (reference nnUNetTrainer.py:145-146)
@@ -102,9 +112,24 @@ class SegmentorTrainer:
         if not isinstance(outputs, (list, tuple)):
             outputs = [outputs]
 
+        loss_name = getattr(self.variant, "loss", "dc_and_ce") if self.variant \
+            else "dc_and_ce"
+
         def one(logits, seg):
             mask = (seg >= 0).astype(jnp.float32)  # -1 = outside-crop padding
             tgt = jnp.maximum(seg, 0)
+            if loss_name == "dice":
+                return soft_dice_loss(logits, tgt, loss_mask=mask,
+                                      batch_dice=self.plan.batch_dice)
+            if loss_name == "ce":
+                return robust_cross_entropy(logits, tgt, loss_mask=mask)
+            if loss_name == "topk10":
+                from ldiffusion_tpu.losses.dice import topk_cross_entropy
+                return topk_cross_entropy(logits, tgt)
+            if loss_name == "dc_and_focal":
+                from ldiffusion_tpu.losses.dice import dc_and_focal_loss
+                return dc_and_focal_loss(logits, tgt, loss_mask=mask,
+                                         batch_dice=self.plan.batch_dice)
             dc = soft_dice_loss(logits, tgt, loss_mask=mask,
                                 batch_dice=self.plan.batch_dice)
             ce = robust_cross_entropy(logits, tgt, loss_mask=mask)
@@ -177,7 +202,11 @@ class SegmentorTrainer:
 
         for epoch in range(self.current_epoch, num_epochs):
             t0 = time.time()
-            lr = poly_lr(cfg.initial_lr, epoch, num_epochs)
+            if self.variant is not None:
+                from ldiffusion_tpu.segmentor.variants import lr_at_epoch
+                lr = lr_at_epoch(self.variant, epoch, num_epochs)
+            else:
+                lr = poly_lr(cfg.initial_lr, epoch, num_epochs)
             self.epoch_log.log("lr", lr, epoch)
             # ---- train ----
             tl = 0.0
@@ -230,6 +259,56 @@ class SegmentorTrainer:
         train_iter.close()
         val_iter.close()
         self.save_checkpoint(os.path.join(self.output_dir, "checkpoint_final.pkl"))
+
+    # ------------------------------------------------------------------
+    def perform_actual_validation(self, val_images, val_labels, gt_dir=None,
+                                  determine_pp: bool = True):
+        """Final validation: sliding-window predict every val case, write
+        PNGs + nnUNet-style summary.json, optionally determine connected-
+        component postprocessing (reference ``nnUNetTrainer.py:1119-1246`` +
+        ``determine_postprocessing``). val_images: list of (H, W, C) arrays
+        (already diffusion-transformed); val_labels: list of (H, W) ints.
+        Multi-host: cases are interleaved by process index (reference
+        ``nnUNetTrainer.py:1138-1139``)."""
+        import jax as _jax
+        import numpy as _np
+        from PIL import Image as _Image
+
+        from ldiffusion_tpu.evaluate import compute_metrics_on_folder
+        from ldiffusion_tpu.segmentor.postprocess import (
+            determine_postprocessing,
+            save_postprocessing,
+        )
+        from ldiffusion_tpu.segmentor.predictor import SlidingWindowPredictor
+
+        out_dir = os.path.join(self.output_dir, "validation")
+        os.makedirs(out_dir, exist_ok=True)
+        gt_out = gt_dir or os.path.join(self.output_dir, "validation_gt")
+        os.makedirs(gt_out, exist_ok=True)
+        dtype = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
+        predictor = SlidingWindowPredictor(self.plan, self.state.params, dtype=dtype)
+        preds, gts = [], []
+        n_proc = _jax.process_count()
+        idx = _jax.process_index()
+        for i, (img, lab) in enumerate(zip(val_images, val_labels)):
+            if i % n_proc != idx:
+                continue  # interleaved case sharding across hosts
+            seg = predictor.predict(_np.asarray(img, _np.float32))
+            _Image.fromarray(seg).save(os.path.join(out_dir, f"case_{i:03d}.png"))
+            _Image.fromarray(_np.asarray(lab, _np.uint8)).save(
+                os.path.join(gt_out, f"case_{i:03d}.png"))
+            preds.append(seg)
+            gts.append(_np.asarray(lab))
+        summary = compute_metrics_on_folder(
+            out_dir, gt_out, self.plan.num_classes,
+            output_file=os.path.join(out_dir, "summary.json"))
+        if determine_pp and preds:
+            steps = determine_postprocessing(preds, gts, self.plan.num_classes)
+            save_postprocessing(steps, os.path.join(self.output_dir,
+                                                    "postprocessing.json"))
+        self.log(f"final validation foreground dice: "
+                 f"{summary['foreground_mean']['Dice']:.4f}")
+        return summary
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, path: str):
