@@ -152,7 +152,7 @@ def main():
         claim_tpu(max_wait=int(os.environ.get("BENCH_CLAIM_WAIT", "600")))
     except Exception as e:
         print(f"claim_tpu: {e}; proceeding on default backend", file=sys.stderr)
-    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     best = 0.0
     try:
