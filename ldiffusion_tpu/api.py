@@ -203,6 +203,15 @@ class LDiffusionModel:
         cfg = self.segmentor_config or SegmentorTrainConfig(num_epochs=epochs)
         trainer = SegmentorTrainer(plan, cfg, self.mesh, output_dir=out_dir)
         trainer.run_training(pp_train, pp_val, num_epochs=epochs)
+        # final validation: sliding-window over the held-out transformed set,
+        # summary.json + postprocessing determination (reference
+        # nnUNetTrainer.py:1119-1246 on_train_end)
+        val_images = images[-max(1, int(round(len(images) * 0.2))):]
+        val_labels = labels[-max(1, int(round(len(labels) * 0.2))):]
+        try:
+            trainer.perform_actual_validation(val_images, val_labels)
+        except Exception as e:  # validation must not lose the trained model
+            self.log(f"final validation failed: {e}")
         return out_dir
 
     # -- stage 2: cell ----------------------------------------------------
@@ -272,6 +281,11 @@ class LDiffusionModel:
         if not os.path.exists(ckpt):
             ckpt = os.path.join(segmentor_weight, "checkpoint_final.pkl")
         predictor = SlidingWindowPredictor.from_checkpoints(plan, [ckpt])
+        pp_steps = []
+        pp_path = os.path.join(segmentor_weight, "postprocessing.json")
+        if os.path.exists(pp_path):
+            from ldiffusion_tpu.segmentor.postprocess import load_postprocessing
+            pp_steps = load_postprocessing(pp_path)
 
         if os.path.isdir(image_path):
             # batch mode (reference segmentor.py:399-419)
@@ -287,11 +301,17 @@ class LDiffusionModel:
                     continue
                 decoded, arr = self._transform_single(os.path.join(image_path, fn))
                 mask = predictor.predict(arr.astype(np.float32))
+                if pp_steps:
+                    from ldiffusion_tpu.segmentor.postprocess import apply_postprocessing
+                    mask = apply_postprocessing(mask, pp_steps)
                 Image.fromarray(mask).save(out_png)
             return None, None
 
         decoded, arr = self._transform_single(image_path)
         mask = predictor.predict(arr.astype(np.float32))
+        if pp_steps:
+            from ldiffusion_tpu.segmentor.postprocess import apply_postprocessing
+            mask = apply_postprocessing(mask, pp_steps)
         return decoded, mask
 
     def inference_cell(self, image_path, ldiffusion_weight, segmentor_weight,

@@ -186,9 +186,20 @@ class SegmentorTrainer:
 
     # ------------------------------------------------------------------
     def run_training(self, train_ds: PreprocessedDataset, val_ds: PreprocessedDataset,
-                     num_epochs: Optional[int] = None):
+                     num_epochs: Optional[int] = None,
+                     continue_training: bool = False):
         cfg = self.cfg
         num_epochs = num_epochs or cfg.num_epochs
+        if continue_training:
+            # --c semantics (reference run_training.py:76-86): resume from
+            # checkpoint_latest (falling back to best/final) when present
+            for name in ("checkpoint_latest.pkl", "checkpoint_best.pkl",
+                         "checkpoint_final.pkl"):
+                path = os.path.join(self.output_dir, name)
+                if os.path.exists(path):
+                    self.load_checkpoint(path)
+                    self.log(f"resumed from {name} at epoch {self.current_epoch}")
+                    break
         from ldiffusion_tpu.data.prefetch import Prefetcher
 
         train_iter = Prefetcher(iter(PatchSampler(
@@ -259,6 +270,34 @@ class SegmentorTrainer:
         train_iter.close()
         val_iter.close()
         self.save_checkpoint(os.path.join(self.output_dir, "checkpoint_final.pkl"))
+        self._write_benchmark_result()
+
+    def _write_benchmark_result(self):
+        """benchmark_result.json analog (reference
+        ``variants/benchmarking/nnUNetTrainerBenchmark_5epochs.py:8-65``):
+        fastest epoch time + environment info."""
+        import json as _json
+
+        import jax as _jax
+
+        times = [t for t in self.epoch_log.data.get("epoch_time", [])
+                 if t == t]  # drop NaN
+        if not times:
+            return
+        result = {
+            "fastest_epoch_s": min(times),
+            "mean_epoch_s": sum(times) / len(times),
+            "num_epochs": len(times),
+            "jax_version": _jax.__version__,
+            "backend": _jax.default_backend(),
+            "device": str(_jax.devices()[0]),
+            "num_devices": _jax.device_count(),
+            "batch_size": self.plan.batch_size,
+            "patch_size": list(self.plan.patch_size),
+        }
+        if is_main_process():
+            with open(os.path.join(self.output_dir, "benchmark_result.json"), "w") as f:
+                _json.dump(result, f, indent=2)
 
     # ------------------------------------------------------------------
     def perform_actual_validation(self, val_images, val_labels, gt_dir=None,
