@@ -18,7 +18,30 @@ import jax
 import jax.numpy as jnp
 
 from ldiffusion_tpu.ops.attention import dot_product_attention
+from ldiffusion_tpu.ops.groupnorm import groupnorm_silu_trainable
 from ldiffusion_tpu.ops.resize import upsample_nearest_2x
+
+
+class FusedGroupNormSiLU(nn.Module):
+    """GroupNorm→SiLU through the fused Pallas kernel (``ops/groupnorm.py``;
+    auto-dispatch falls back to XLA off-TPU or for VMEM-exceeding inputs).
+    Param layout matches ``nn.GroupNorm`` (scale/bias), so checkpoints are
+    interchangeable with the unfused path."""
+
+    groups: int = 32
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+        return groupnorm_silu_trainable(
+            x.astype(self.dtype), scale.astype(jnp.float32),
+            bias.astype(jnp.float32), self.groups, self.eps, True
+        ).astype(self.dtype)
 
 
 def timestep_embedding(timesteps, dim: int, max_period: float = 10000.0, dtype=jnp.float32):
@@ -60,18 +83,16 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, temb=None):
         residual = x
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.dtype,
-                         param_dtype=self.param_dtype, name="norm1")(x)
-        h = nn.silu(h)
+        gn = lambda name: FusedGroupNormSiLU(self.groups, self.eps, dtype=self.dtype,
+                                             param_dtype=self.param_dtype, name=name)
+        h = gn("norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="conv1")(h)
         if self.use_time_emb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype,
                          param_dtype=self.param_dtype, name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.dtype,
-                         param_dtype=self.param_dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = gn("norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="conv2")(h)
         if residual.shape[-1] != self.out_channels:

@@ -109,7 +109,12 @@ def dot_product_attention(q, k, v, scale=None):
     mode = _MODE
     if mode == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        use_pallas = on_tpu and sq % 256 == 0 and sk % 512 == 0 and sk >= 512
+        dp = _round_up(d, 128)
+        # VMEM estimate: double-buffered K+V blocks dominate; leave headroom
+        # for Q/out blocks and fp32 accumulators
+        kv_bytes = 2 * sk * dp * 2 * 2  # K+V, bf16, double-buffered
+        use_pallas = (on_tpu and sq % 256 == 0 and sk % 512 == 0 and sk >= 512
+                      and kv_bytes <= 11 * 1024 * 1024)
         mode = "pallas" if use_pallas else "xla"
 
     if mode == "xla":

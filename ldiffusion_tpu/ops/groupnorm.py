@@ -107,9 +107,38 @@ def groupnorm_silu(x, scale, bias, groups: int = 32, eps: float = 1e-5,
     b, h, w, c = x.shape
     mode = _MODE
     if mode == "auto":
-        fits = (h * w * c * 4) <= 8 * 1024 * 1024 and c % 128 == 0 and (h * w) % 8 == 0
+        # VMEM budget: f32 row + squared copy + output (~3x) plus
+        # double-buffered bf16 in/out blocks must fit 16MB
+        fits = (h * w * c * 4) <= 3 * 1024 * 1024 and c % 128 == 0 and (h * w) % 8 == 0
         mode = "pallas" if (jax.default_backend() == "tpu" and fits) else "xla"
     if mode == "xla":
         return _xla_groupnorm_silu(x, scale, bias, groups, eps, silu)
     return _pallas_groupnorm_silu(x, scale, bias, groups, eps, silu,
                                   interpret=(mode == "pallas_interpret"))
+
+
+# ---------------------------------------------------------------------------
+# Trainable wrapper: Pallas forward, XLA-derived backward
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def groupnorm_silu_trainable(x, scale, bias, groups: int = 32, eps: float = 1e-5,
+                             silu: bool = True):
+    """``groupnorm_silu`` with gradients: the forward takes the dispatched
+    (possibly Pallas) path; the backward is the VJP of the XLA reference —
+    mathematically identical, so training works wherever the kernel runs."""
+    return groupnorm_silu(x, scale, bias, groups, eps, silu)
+
+
+def _gn_fwd(x, scale, bias, groups, eps, silu):
+    return groupnorm_silu(x, scale, bias, groups, eps, silu), (x, scale, bias)
+
+
+def _gn_bwd(groups, eps, silu, res, g):
+    x, scale, bias = res
+    _, vjp = jax.vjp(lambda xx, sc, bi: _xla_groupnorm_silu(xx, sc, bi, groups, eps, silu),
+                     x, scale, bias)
+    return vjp(g)
+
+
+groupnorm_silu_trainable.defvjp(_gn_fwd, _gn_bwd)
