@@ -101,16 +101,21 @@ def _pallas_groupnorm_silu(x, scale, bias, groups, eps, silu, interpret=False):
     return out.reshape(b, h, w, c)
 
 
-def groupnorm_silu(x, scale, bias, groups: int = 32, eps: float = 1e-5,
-                   silu: bool = True):
-    """x: (B, H, W, C); scale/bias: (C,). Fused GroupNorm [+ SiLU]."""
-    b, h, w, c = x.shape
+def _resolve_mode(shape) -> str:
+    b, h, w, c = shape
     mode = _MODE
     if mode == "auto":
         # VMEM budget: f32 row + squared copy + output (~3x) plus
         # double-buffered bf16 in/out blocks must fit 16MB
         fits = (h * w * c * 4) <= 3 * 1024 * 1024 and c % 128 == 0 and (h * w) % 8 == 0
         mode = "pallas" if (jax.default_backend() == "tpu" and fits) else "xla"
+    return mode
+
+
+def groupnorm_silu(x, scale, bias, groups: int = 32, eps: float = 1e-5,
+                   silu: bool = True):
+    """x: (B, H, W, C); scale/bias: (C,). Fused GroupNorm [+ SiLU]."""
+    mode = _resolve_mode(x.shape)
     if mode == "xla":
         return _xla_groupnorm_silu(x, scale, bias, groups, eps, silu)
     return _pallas_groupnorm_silu(x, scale, bias, groups, eps, silu,
@@ -122,11 +127,8 @@ def groupnorm_silu(x, scale, bias, groups: int = 32, eps: float = 1e-5,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def groupnorm_silu_trainable(x, scale, bias, groups: int = 32, eps: float = 1e-5,
-                             silu: bool = True):
-    """``groupnorm_silu`` with gradients: the forward takes the dispatched
-    (possibly Pallas) path; the backward is the VJP of the XLA reference —
-    mathematically identical, so training works wherever the kernel runs."""
+def _pallas_gn_trainable(x, scale, bias, groups: int, eps: float, silu: bool):
+    """Pallas forward + XLA-derived backward (mathematically identical)."""
     return groupnorm_silu(x, scale, bias, groups, eps, silu)
 
 
@@ -141,4 +143,14 @@ def _gn_bwd(groups, eps, silu, res, g):
     return vjp(g)
 
 
-groupnorm_silu_trainable.defvjp(_gn_fwd, _gn_bwd)
+_pallas_gn_trainable.defvjp(_gn_fwd, _gn_bwd)
+
+
+def groupnorm_silu_trainable(x, scale, bias, groups: int = 32, eps: float = 1e-5,
+                             silu: bool = True):
+    """Trainable fused GroupNorm+SiLU. On the XLA path this is the plain
+    (natively differentiable) function — no custom_vjp indirection; the
+    custom-VJP wrapper is only used when the Pallas kernel is selected."""
+    if _resolve_mode(x.shape) == "xla":
+        return _xla_groupnorm_silu(x, scale, bias, groups, eps, silu)
+    return _pallas_gn_trainable(x, scale, bias, groups, eps, silu)
