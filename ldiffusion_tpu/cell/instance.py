@@ -228,3 +228,53 @@ class FlowNetProposer:
 
 def optax_sigmoid_bce(logits, targets):
     return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+class FlowNetTrainer:
+    """Train the flow-field proposer from instance masks (the path cellpose
+    used offline to produce cyto2; here it is a first-class trainable).
+
+    AdamW over the DynUNet; targets from :func:`masks_to_flows`."""
+
+    def __init__(self, proposer: FlowNetProposer, lr: float = 1e-3):
+        import optax
+
+        self.proposer = proposer
+        self.tx = optax.adamw(lr)
+        self.opt_state = self.tx.init(proposer.params)
+        self._step = self._make_step()
+
+    def _make_step(self):
+        import optax
+
+        prop = self.proposer
+
+        @jax.jit
+        def step(params, opt_state, images, flow_targets):
+            loss, grads = jax.value_and_grad(prop.loss_fn)(params, images, flow_targets)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        return step
+
+    def train(self, images, instance_masks, epochs: int = 10, batch_size: int = 4,
+              seed: int = 0):
+        """images: list of (H, W, 3) in [0,1]; instance_masks: list of (H, W)
+        int instance ids. Returns per-epoch losses."""
+        targets = [masks_to_flows(m) for m in instance_masks]
+        x = jnp.asarray(np.stack(images), jnp.float32)
+        y = jnp.asarray(np.stack(targets), jnp.float32)
+        rng = np.random.default_rng(seed)
+        losses = []
+        n = x.shape[0]
+        for _ in range(epochs):
+            order = rng.permutation(n)
+            total, steps = 0.0, 0
+            for s in range(0, n, batch_size):
+                idx = order[s:s + batch_size]
+                self.proposer.params, self.opt_state, loss = self._step(
+                    self.proposer.params, self.opt_state, x[idx], y[idx])
+                total += float(loss)
+                steps += 1
+            losses.append(total / max(steps, 1))
+        return losses

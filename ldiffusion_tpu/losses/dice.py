@@ -230,3 +230,13 @@ def dc_and_bce_loss(logits, region_targets, loss_mask=None, axis_name=None,
                                 batch_dice=batch_dice, axis_name=axis_name)
     bce = binary_cross_entropy_with_logits(logits, region_targets, loss_mask)
     return dc + bce
+
+
+def kl_div_multichannel(pred_logits, target_logits):
+    """KL(softmax(target) || softmax(pred)) with batchmean reduction
+    (reference ``model/loss.py:206-214``, unused there but inventoried)."""
+    logp = jax.nn.log_softmax(pred_logits.astype(jnp.float32), axis=1)
+    q = jax.nn.softmax(target_logits.astype(jnp.float32), axis=1)
+    logq = jax.nn.log_softmax(target_logits.astype(jnp.float32), axis=1)
+    kl = jnp.sum(q * (logq - logp))
+    return kl / pred_logits.shape[0]

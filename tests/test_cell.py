@@ -132,3 +132,18 @@ def test_classifier_training_reduces_loss():
             model.head, trainer.opt_state, jnp.asarray(patches), jnp.asarray(labels))
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.5  # actually learns (reference didn't)
+
+
+def test_flownet_trainer_reduces_loss():
+    from ldiffusion_tpu.cell.instance import FlowNetProposer, FlowNetTrainer
+
+    imgs, insts = [], []
+    for seed in range(4):
+        # size >= 96: blob placement (min separation 28px) is always feasible
+        img, inst = _synthetic_cells(size=96, n_blobs=2, seed=seed)
+        imgs.append(img)
+        insts.append(inst)
+    prop = FlowNetProposer.create(features=(8, 16))
+    tr = FlowNetTrainer(prop, lr=3e-3)
+    losses = tr.train(imgs, insts, epochs=8, batch_size=2)
+    assert losses[-1] < losses[0] * 0.8  # flow regression actually learns
