@@ -81,3 +81,31 @@ def test_cli_parse_and_signature():
     ])
     assert args.num_epochs == 20
     assert args.level == "tissue"
+
+
+@pytest.mark.slow
+def test_full_pipeline_cell(puma_dirs, tmp_path):
+    """Cell-level two-stage pipeline: warm-up → instance+classifier training
+    → inference (reference segmentor.py:243-299, 490-545)."""
+    image_dir, label_dir = puma_dirs
+    from ldiffusion_tpu.core.dist import make_mesh
+    from ldiffusion_tpu.core.config import MeshConfig
+
+    mesh = make_mesh(MeshConfig(data=2, fsdp=1, tensor=4))
+    model = LDiffusionModel(
+        "random:tiny", level="cell", mesh=mesh,
+        work_dir=str(tmp_path / "work"),
+        diffusion_config=DiffusionTrainConfig(num_epochs=1, batch_size=2,
+                                              num_inference_steps=5),
+    )
+    args = Args(image_dir, label_dir)
+    args.num_classes = 11
+    args.num_epochs = 11  # 1 cell epoch after the warm-up subtraction
+    out = model.train(args, component="all")
+    assert os.path.exists(out["segmentor"])
+
+    img_path = os.path.join(image_dir, sorted(os.listdir(image_dir))[0])
+    decoded, mask = model.inference(img_path, out["ldiffusion"],
+                                    out["segmentor"], num_classes=11)
+    assert mask.shape == (64, 64)
+    assert mask.max() < 11
