@@ -155,6 +155,12 @@ def main():
         claim_tpu(max_wait=int(os.environ.get("BENCH_CLAIM_WAIT", "600")))
     except Exception as e:
         print(f"claim_tpu: {e}; proceeding on default backend", file=sys.stderr)
+    # A/B kernel toggles: BENCH_ATTN / BENCH_GN in {auto,xla,pallas}
+    from ldiffusion_tpu.ops.attention import set_attention_mode
+    from ldiffusion_tpu.ops.groupnorm import set_groupnorm_mode
+
+    set_attention_mode(os.environ.get("BENCH_ATTN", "auto"))
+    set_groupnorm_mode(os.environ.get("BENCH_GN", "auto"))
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     best = 0.0

@@ -1,0 +1,66 @@
+"""Segmentor (stage-2) train-step throughput on TPU.
+
+Times the full jitted nnUNet-style train step — on-device augmentation,
+deep-supervision DC+CE forward/backward, SGD update — for the plan the
+planner produces for 1024² RGB data.
+"""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+from tpu_claim import claim_tpu  # noqa: E402
+
+claim_tpu()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from ldiffusion_tpu.core.config import MeshConfig, SegmentorTrainConfig  # noqa: E402
+from ldiffusion_tpu.core.dist import make_mesh  # noqa: E402
+from ldiffusion_tpu.segmentor.planner import plan_experiment  # noqa: E402
+from ldiffusion_tpu.segmentor.trainer import SegmentorTrainer  # noqa: E402
+
+fp = {
+    "shapes_after_crop": [[1024, 1024]] * 40,
+    "num_channels": 3,
+    "foreground_intensity_properties_per_channel": {},
+}
+plan = plan_experiment(fp, num_classes=7)
+print(f"plan: patch {plan.patch_size} batch {plan.batch_size} "
+      f"features {plan.features_per_stage}", flush=True)
+
+mesh = make_mesh(MeshConfig())
+cfg = SegmentorTrainConfig()
+t0 = time.time()
+tr = SegmentorTrainer(plan, cfg, mesh, output_dir="/tmp/seg_bench")
+print(f"trainer init {time.time()-t0:.1f}s", flush=True)
+
+rng = np.random.default_rng(0)
+ph, pw = plan.patch_size
+data = jnp.asarray(rng.normal(size=(plan.batch_size, ph, pw, 3)).astype(np.float32))
+seg = jnp.asarray(rng.integers(0, 7, size=(plan.batch_size, ph, pw)).astype(np.int32))
+key = jax.random.key(0)
+
+t0 = time.time()
+state, loss = tr._train_step(tr.state, data, seg, key, jnp.float32(0.01))
+jax.block_until_ready(loss)
+print(f"train step compile+run {time.time()-t0:.1f}s loss={float(loss):.3f}", flush=True)
+tr.state = state
+
+iters = 10
+t0 = time.time()
+for i in range(iters):
+    tr.state, loss = tr._train_step(tr.state, data, seg,
+                                    jax.random.fold_in(key, i), jnp.float32(0.01))
+jax.block_until_ready(loss)
+dt = time.time() - t0
+per_step = dt / iters
+px_per_s = plan.batch_size * ph * pw / per_step
+print(f"train step {per_step*1000:.0f} ms  ({plan.batch_size} x {ph}x{pw} patches; "
+      f"{px_per_s/1e6:.1f} Mpx/s; {plan.batch_size/per_step:.2f} patches/s)", flush=True)
