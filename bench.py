@@ -134,13 +134,12 @@ def run(batch: int, iters: int = 8):
         np.random.default_rng(0).normal(size=(batch, IMAGE, IMAGE, 3)).astype(np.float32))
     key = jax.random.key(0)
     t0 = time.perf_counter()
-    out = rep(comps.params, images, key, iters)  # compile + warmup
-    out.block_until_ready()
+    # sync via value read: block_until_ready is unreliable over the tunnel
+    _ = float(rep(comps.params, images, key, iters))  # compile + warmup
     print(f"pipeline compile+warmup {time.perf_counter()-t0:.1f}s",
           file=sys.stderr, flush=True)
     t0 = time.perf_counter()
-    out = rep(comps.params, images, jax.random.fold_in(key, 1), iters)
-    out.block_until_ready()
+    _ = float(rep(comps.params, images, jax.random.fold_in(key, 1), iters))
     dt = time.perf_counter() - t0
     return batch * iters / dt
 

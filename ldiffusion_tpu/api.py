@@ -24,7 +24,6 @@ Differences from the reference (all deliberate, TPU-native):
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
 from typing import Optional, Tuple
 
@@ -47,7 +46,6 @@ from ldiffusion_tpu.data.dataset import (
     load_image,
     split_dataset,
 )
-from ldiffusion_tpu.data.labels import NUM_CLASSES
 
 
 def parse_args(argv=None):

@@ -15,7 +15,6 @@ import os
 import time
 from typing import Dict, List, Optional
 
-import numpy as np
 
 
 def is_main_process() -> bool:

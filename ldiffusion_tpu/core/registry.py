@@ -14,7 +14,7 @@ from __future__ import annotations
 import contextlib
 import importlib
 import pkgutil
-from typing import Any, Callable, Dict, List, Optional, Type
+from typing import Any, Callable, Dict, List, Optional
 
 import numpy as np
 

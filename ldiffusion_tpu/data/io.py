@@ -13,7 +13,7 @@ libraries, mirroring the reference's optional-format support.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple, Type
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 

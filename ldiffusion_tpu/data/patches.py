@@ -12,7 +12,7 @@ augmentation runs (``data/augment.py``).
 """
 from __future__ import annotations
 
-from typing import TYPE_CHECKING, Iterator, Optional, Tuple
+from typing import TYPE_CHECKING, Iterator, Tuple
 
 import numpy as np
 

@@ -19,7 +19,7 @@ import numpy as np
 from PIL import Image
 from scipy import ndimage
 
-from ldiffusion_tpu.data.labels import ID_TO_CLASS_RGBD, label_lut
+from ldiffusion_tpu.data.labels import label_lut
 
 
 def map_mask(mask_np: np.ndarray) -> np.ndarray:

@@ -21,8 +21,7 @@ on them): latents are the raw VAE mean — NOT scaled by 0.18215 — while
 from __future__ import annotations
 
 import dataclasses
-import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

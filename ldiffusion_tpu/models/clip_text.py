@@ -13,7 +13,6 @@ import dataclasses
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ldiffusion_tpu.ops.attention import dot_product_attention
 
 
 @dataclasses.dataclass(frozen=True)

@@ -14,7 +14,7 @@ BatchNorm layers follow the reference blocks; NHWC throughout.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -11,7 +11,6 @@ mapping for shared names plus the controlnet-specific embeddings/zero-convs.
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Tuple
 
 import flax.linen as nn

@@ -14,10 +14,8 @@ from __future__ import annotations
 
 import json
 import os
-import pickle
 from typing import Dict
 
-import jax.numpy as jnp
 import numpy as np
 
 from ldiffusion_tpu.models.safetensors_io import load_state_dict

@@ -14,7 +14,7 @@ features, strides) comes from the plan (``segmentor/planner.py``).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import flax.linen as nn
 import jax

@@ -14,7 +14,6 @@ import math
 from typing import Optional
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from ldiffusion_tpu.ops.attention import dot_product_attention

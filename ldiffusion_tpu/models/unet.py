@@ -14,7 +14,7 @@ per down/up block by the trainers for rematerialization.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

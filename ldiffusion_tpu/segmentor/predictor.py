@@ -16,9 +16,7 @@ number of compiled programs.
 """
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

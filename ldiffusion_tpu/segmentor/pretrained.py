@@ -8,7 +8,7 @@ heads with different class counts) and reported.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import jax
 import numpy as np

@@ -32,7 +32,7 @@ from ldiffusion_tpu.core.config import SegmentorTrainConfig
 from ldiffusion_tpu.core.dist import DATA_AXIS, FSDP_AXIS, MeshContext
 from ldiffusion_tpu.core.logging import EpochLogger, TextLogger, dump_debug_json, is_main_process
 from ldiffusion_tpu.data.augment import AugmentConfig, augment_batch
-from ldiffusion_tpu.data.patches import PatchSampler, downsample_seg_for_ds
+from ldiffusion_tpu.data.patches import PatchSampler
 from ldiffusion_tpu.losses.dice import (
     deep_supervision_loss,
     robust_cross_entropy,

@@ -13,7 +13,7 @@ from __future__ import annotations
 import dataclasses
 import math
 import re
-from typing import Callable, Optional
+from typing import Optional
 
 from ldiffusion_tpu.core.config import SegmentorTrainConfig
 from ldiffusion_tpu.data.augment import AugmentConfig

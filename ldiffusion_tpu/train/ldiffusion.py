@@ -25,16 +25,14 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from ldiffusion_tpu.core.config import DiffusionTrainConfig
 from ldiffusion_tpu.core.dist import DATA_AXIS, FSDP_AXIS, MeshContext
 from ldiffusion_tpu.core.logging import CSVLogger, TextLogger, is_main_process
-from ldiffusion_tpu.diffusion.pipeline import SDComponents, trajectory_features, trajectory_text_emb
+from ldiffusion_tpu.diffusion.pipeline import SDComponents, trajectory_features
 from ldiffusion_tpu.losses.infonce import InfoNceLoss, contrastive_loss
 from ldiffusion_tpu.models.convert import save_unet_dir
-from ldiffusion_tpu.ops.resize import resize_bilinear
 
 
 class TrainState(NamedTuple):

@@ -7,7 +7,7 @@ image loading helpers (``:296-344``). Dataset materialization lives in
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 from scipy import ndimage

@@ -35,10 +35,16 @@ plan = plan_experiment(fp, num_classes=7)
 print(f"plan: patch {plan.patch_size} batch {plan.batch_size} "
       f"features {plan.features_per_stage}", flush=True)
 
+import os
+
 mesh = make_mesh(MeshConfig())
 cfg = SegmentorTrainConfig()
 t0 = time.time()
-tr = SegmentorTrainer(plan, cfg, mesh, output_dir="/tmp/seg_bench")
+variant = None
+if os.environ.get("SEG_BENCH_NODA") == "1":
+    from ldiffusion_tpu.segmentor.variants import get_variant
+    variant = get_variant("nnUNetTrainerNoDA", base=cfg)
+tr = SegmentorTrainer(plan, cfg, mesh, output_dir="/tmp/seg_bench", variant=variant)
 print(f"trainer init {time.time()-t0:.1f}s", flush=True)
 
 rng = np.random.default_rng(0)
@@ -49,7 +55,6 @@ key = jax.random.key(0)
 
 t0 = time.time()
 state, loss = tr._train_step(tr.state, data, seg, key, jnp.float32(0.01))
-jax.block_until_ready(loss)
 print(f"train step compile+run {time.time()-t0:.1f}s loss={float(loss):.3f}", flush=True)
 tr.state = state
 
@@ -58,7 +63,7 @@ t0 = time.time()
 for i in range(iters):
     tr.state, loss = tr._train_step(tr.state, data, seg,
                                     jax.random.fold_in(key, i), jnp.float32(0.01))
-jax.block_until_ready(loss)
+_ = float(loss)  # value read = real sync (block_until_ready is unreliable)
 dt = time.time() - t0
 per_step = dt / iters
 px_per_s = plan.batch_size * ph * pw / per_step
