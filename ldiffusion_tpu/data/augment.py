@@ -150,13 +150,20 @@ def _augment_one(key, data, seg, cfg: AugmentConfig):
     mean = jnp.mean(data, axis=(0, 1), keepdims=True)
     data = jnp.where(u[5] < cfg.p_contrast, (data - mean) * c + mean, data)
 
-    # ---- simulated low-res (quantized-coordinate resample) ----
-    zoom = jax.random.uniform(ks[8], (), minval=cfg.lowres_zoom[0], maxval=cfg.lowres_zoom[1])
-    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
-                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
-    qy = jnp.floor(yy * zoom) / zoom
-    qx = jnp.floor(xx * zoom) / zoom
-    data = jnp.where(u[6] < cfg.p_lowres, _bilinear_sample(data, qy, qx, 1), data)
+    # ---- simulated low-res ----
+    # Pool-based (reshape mean-pool + nearest upsample) with factor ∈ {2, 4}
+    # instead of the reference's continuous-zoom gather resample: gathers at
+    # full resolution cost more than the UNet fwd on TPU, while reshape
+    # pooling is pure data movement. Documented deviation (zoom quantized).
+    def lowres(factor):
+        hh, ww, c = data.shape
+        pooled = data.reshape(hh // factor, factor, ww // factor, factor, c).mean((1, 3))
+        return jnp.repeat(jnp.repeat(pooled, factor, 0), factor, 1)
+
+    factor4 = jax.random.uniform(ks[8], ()) < 0.5
+    low = jnp.where(factor4, lowres(4), lowres(2)) if h % 4 == 0 and w % 4 == 0 \
+        else data
+    data = jnp.where(u[6] < cfg.p_lowres, low, data)
 
     # ---- gamma ----
     g = jax.random.uniform(ks[9], (), minval=cfg.gamma_range[0], maxval=cfg.gamma_range[1])

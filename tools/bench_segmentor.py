@@ -53,17 +53,50 @@ data = jnp.asarray(rng.normal(size=(plan.batch_size, ph, pw, 3)).astype(np.float
 seg = jnp.asarray(rng.integers(0, 7, size=(plan.batch_size, ph, pw)).astype(np.int32))
 key = jax.random.key(0)
 
-t0 = time.time()
-state, loss = tr._train_step(tr.state, data, seg, key, jnp.float32(0.01))
-print(f"train step compile+run {time.time()-t0:.1f}s loss={float(loss):.3f}", flush=True)
-tr.state = state
+# single-dispatch scan of whole train steps: per-dispatch tunnel latency
+# (~0.5-1s, high variance) would otherwise dominate a python loop
+import optax
+from ldiffusion_tpu.data.augment import augment_batch
+from ldiffusion_tpu.losses.dice import robust_cross_entropy, soft_dice_loss
 
-iters = 10
+iters = 8
+
+def scan_steps(params, opt_state, data, seg, key):
+    def loss_fn(p, d, s_list):
+        outs = tr.net.apply({"params": p}, d, train=True)
+        total = 0.0
+        for o, ss in zip(outs, s_list):
+            mask = (ss >= 0).astype(jnp.float32)
+            tgt = jnp.maximum(ss, 0)
+            total = total + soft_dice_loss(o, tgt, loss_mask=mask) + \
+                robust_cross_entropy(o, tgt, loss_mask=mask)
+        return total
+
+    def body(carry, k):
+        p, o = carry
+        d, s = augment_batch(k, data, seg, tr.augment_cfg)
+        s_list, cur = [s], s
+        for st in plan.strides[1:]:
+            if st > 1:
+                cur = cur[:, ::st, ::st]
+                s_list.append(cur)
+        loss, grads = jax.value_and_grad(loss_fn)(p, d, s_list)
+        updates, o = tr.tx.update(grads, o, p)
+        p = optax.apply_updates(p, updates)
+        return (p, o), loss
+
+    (_, _), losses = jax.lax.scan(body, (params, opt_state),
+                                  jax.random.split(key, iters))
+    return jnp.mean(losses)
+
+jfn = jax.jit(scan_steps)
 t0 = time.time()
-for i in range(iters):
-    tr.state, loss = tr._train_step(tr.state, data, seg,
-                                    jax.random.fold_in(key, i), jnp.float32(0.01))
-_ = float(loss)  # value read = real sync (block_until_ready is unreliable)
+_ = float(jfn(tr.state.params, tr.state.opt_state, data, seg, key))
+print(f"scan({iters} steps) compile+run {time.time()-t0:.1f}s", flush=True)
+t0 = time.time()
+_ = float(jfn(tr.state.params, tr.state.opt_state, data, seg,
+              jax.random.fold_in(key, 7)))
+dt = (time.time() - t0) / iters * iters  # total for iters steps
 dt = time.time() - t0
 per_step = dt / iters
 px_per_s = plan.batch_size * ph * pw / per_step
