@@ -43,7 +43,12 @@ def puma_dirs(tmp_path_factory):
 @pytest.mark.slow
 def test_full_pipeline_tissue(puma_dirs, tmp_path):
     image_dir, label_dir = puma_dirs
-    mesh = make_mesh(MeshConfig(data=2, fsdp=1, tensor=4))
+    import jax
+
+    # clean 2-device mesh (batch 2 shards evenly; a dead mesh axis triggered
+    # flaky XLA-CPU aborts in the 8-device config)
+    mesh = make_mesh(MeshConfig(data=2, fsdp=1, tensor=1),
+                     devices=jax.devices()[:2])
     model = LDiffusionModel(
         "random:tiny", level="tissue", mesh=mesh,
         work_dir=str(tmp_path / "work"),
@@ -90,8 +95,10 @@ def test_full_pipeline_cell(puma_dirs, tmp_path):
     image_dir, label_dir = puma_dirs
     from ldiffusion_tpu.core.dist import make_mesh
     from ldiffusion_tpu.core.config import MeshConfig
+    import jax
 
-    mesh = make_mesh(MeshConfig(data=2, fsdp=1, tensor=4))
+    mesh = make_mesh(MeshConfig(data=2, fsdp=1, tensor=1),
+                     devices=jax.devices()[:2])
     model = LDiffusionModel(
         "random:tiny", level="cell", mesh=mesh,
         work_dir=str(tmp_path / "work"),

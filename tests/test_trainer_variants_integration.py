@@ -36,7 +36,7 @@ def test_variant_trainer_runs(tmp_path):
     base = SegmentorTrainConfig(num_epochs=1, iters_per_epoch=2, val_iters_per_epoch=1,
                                 compute_dtype="float32")
     variant = get_variant("nnUNetTrainerDiceLoss_1epochs", base=base)
-    mesh = make_mesh(MeshConfig(data=4, fsdp=1, tensor=2))
+    mesh = make_mesh(MeshConfig(data=4, fsdp=2, tensor=1))
     tr = SegmentorTrainer(plan, variant.config, mesh, output_dir=str(tmp_path),
                           variant=variant)
     tr.run_training(ds, ds, num_epochs=1)
@@ -58,7 +58,7 @@ def test_adam_variant_builds(tmp_path):
     base = SegmentorTrainConfig(num_epochs=1, iters_per_epoch=1, val_iters_per_epoch=1,
                                 compute_dtype="float32")
     variant = get_variant("nnUNetTrainerAdam_1epochs", base=base)
-    mesh = make_mesh(MeshConfig(data=2, fsdp=1, tensor=4))
+    mesh = make_mesh(MeshConfig(data=2, fsdp=4, tensor=1))
     tr = SegmentorTrainer(plan, variant.config, mesh, output_dir=str(tmp_path),
                           variant=variant)
     tr.run_training(ds, ds, num_epochs=1)
