@@ -31,7 +31,7 @@ def test_variant_trainer_runs(tmp_path):
     ds = PreprocessedDataset.build(images, labels, num_classes=3)
     fp = extract_fingerprint(images, labels)
     plan = plan_experiment(fp, num_classes=3)
-    plan = dataclasses.replace(plan, patch_size=(16, 16), batch_size=4,
+    plan = dataclasses.replace(plan, patch_size=(16, 16), batch_size=8,
                                features_per_stage=(8, 16), strides=(1, 2))
     base = SegmentorTrainConfig(num_epochs=1, iters_per_epoch=2, val_iters_per_epoch=1,
                                 compute_dtype="float32")
@@ -53,7 +53,7 @@ def test_adam_variant_builds(tmp_path):
     ds = PreprocessedDataset.build(images, labels, num_classes=3)
     fp = extract_fingerprint(images, labels)
     plan = plan_experiment(fp, num_classes=3)
-    plan = dataclasses.replace(plan, patch_size=(16, 16), batch_size=2,
+    plan = dataclasses.replace(plan, patch_size=(16, 16), batch_size=8,
                                features_per_stage=(8, 16), strides=(1, 2))
     base = SegmentorTrainConfig(num_epochs=1, iters_per_epoch=1, val_iters_per_epoch=1,
                                 compute_dtype="float32")
