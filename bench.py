@@ -138,10 +138,14 @@ def run(batch: int, iters: int = 8):
     _ = float(rep(comps.params, images, key, iters))  # compile + warmup
     print(f"pipeline compile+warmup {time.perf_counter()-t0:.1f}s",
           file=sys.stderr, flush=True)
-    t0 = time.perf_counter()
-    _ = float(rep(comps.params, images, jax.random.fold_in(key, 1), iters))
-    dt = time.perf_counter() - t0
-    return batch * iters / dt
+    best = float("inf")
+    for rep_i in range(3):  # best-of-3: the tunnel adds high run variance
+        t0 = time.perf_counter()
+        _ = float(rep(comps.params, images, jax.random.fold_in(key, 1 + rep_i), iters))
+        best = min(best, time.perf_counter() - t0)
+        print(f"timed pass {rep_i}: {time.perf_counter() - t0:.2f}s",
+              file=sys.stderr, flush=True)
+    return batch * iters / best
 
 
 def main():
