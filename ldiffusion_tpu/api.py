@@ -148,6 +148,7 @@ class LDiffusionModel:
         cfg = self.diffusion_config or DiffusionTrainConfig(
             batch_size=args.batch_size,
             num_inference_steps=args.num_inference_steps,
+            num_classes=getattr(args, "num_classes", None),
         )
         trainer = DiffusionWarmupTrainer(comps, cfg, self.mesh, work_dir=self.work_dir)
         steps = max(1, len(train_ds) // max(1, args.batch_size))
@@ -192,20 +193,30 @@ class LDiffusionModel:
         out_dir = os.path.join(self.work_dir, "segmentor", f"Dataset{num:03d}")
         plan.save(os.path.join(out_dir, "plans.json"))
 
-        n_val = max(1, int(round(len(images) * 0.2)))
-        pp_train = PreprocessedDataset.build(images[:-n_val] or images,
-                                             labels[:-n_val] or labels, num_classes)
-        pp_val = PreprocessedDataset.build(images[-n_val:], labels[-n_val:], num_classes)
+        # fold-0-style 80/20 split of the TRAIN cases for online validation
+        # (nnUNet validates on a held-out fold of imagesTr,
+        # nnUNetTrainer.py:591-640) — disjoint whenever >1 case exists.
+        if len(images) > 1:
+            n_val = min(max(1, int(round(len(images) * 0.2))), len(images) - 1)
+            tr_i, tr_l = images[:-n_val], labels[:-n_val]
+            va_i, va_l = images[-n_val:], labels[-n_val:]
+        else:
+            tr_i, tr_l = images, labels
+            va_i, va_l = images, labels
+        pp_train = PreprocessedDataset.build(tr_i, tr_l, num_classes)
+        pp_val = PreprocessedDataset.build(va_i, va_l, num_classes)
 
         self.log("\033[32m[Segmentor] Training is starting...\033[0m")
         cfg = self.segmentor_config or SegmentorTrainConfig(num_epochs=epochs)
         trainer = SegmentorTrainer(plan, cfg, self.mesh, output_dir=out_dir)
         trainer.run_training(pp_train, pp_val, num_epochs=epochs)
-        # final validation: sliding-window over the held-out transformed set,
+        # final validation: sliding-window over the transformed HELD-OUT 30%
+        # split (imagesTs, from val_ds) — never training-set images —
         # summary.json + postprocessing determination (reference
-        # nnUNetTrainer.py:1119-1246 on_train_end)
-        val_images = images[-max(1, int(round(len(images) * 0.2))):]
-        val_labels = labels[-max(1, int(round(len(labels) * 0.2))):]
+        # nnUNetTrainer.py:1119-1246 on_train_end).
+        val_images, val_labels = load_transformed_dataset(ds_path, "Ts")
+        if not val_images:  # no held-out cases: fall back to the val fold
+            val_images, val_labels = va_i, va_l
         try:
             trainer.perform_actual_validation(val_images, val_labels)
         except Exception as e:  # validation must not lose the trained model

@@ -17,12 +17,22 @@ import jax
 import numpy as np
 
 
+def _to_host(x):
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        # Params sharded across hosts (FSDP multi-host): every process must
+        # participate in the gather before the rank-0 write.
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    if hasattr(x, "shape"):
+        return np.asarray(jax.device_get(x))
+    return x
+
+
 def save_pytree(path: str, tree: Any) -> None:
+    host_tree = jax.tree_util.tree_map(_to_host, tree)
     if jax.process_index() != 0:
         return
-    host_tree = jax.tree_util.tree_map(
-        lambda x: np.asarray(jax.device_get(x)) if hasattr(x, "shape") else x, tree
-    )
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:

@@ -10,7 +10,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 
 def _asdict(obj: Any) -> Any:
@@ -84,6 +84,7 @@ class DiffusionTrainConfig(_JsonMixin):
     compute_dtype: str = "bfloat16"
     remat: bool = True                # trade FLOPs for HBM across the timestep scan
     seed: int = 0
+    num_classes: Optional[int] = None  # enables per-class anchor floor in InfoNCE
 
 
 @dataclass(frozen=True)

@@ -35,7 +35,13 @@ def maybe_init_multihost() -> None:
     (reference ``ldiffusion.py:37-38``) but via ``jax.distributed``.
     No-op for single-process runs.
     """
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+    if not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        return
+    # Guard on the client object only: calling jax.process_count() here would
+    # initialize the XLA backend, after which distributed.initialize() raises.
+    from jax._src import distributed as _dist
+
+    if _dist.global_state.client is None:
         jax.distributed.initialize()
 
 

@@ -182,7 +182,8 @@ def one_step_transform(components: SDComponents, params, images, text_emb):
 
 
 def trajectory_features(components: SDComponents, params, images,
-                        key, num_inference_steps: int, remat: bool = True):
+                        key, num_inference_steps: int, remat: bool = True,
+                        context_sharding=None):
     """The stage-1 forward pass (reference ``ldiffusion.py:209-252``).
 
     images: (B, 64, 64, 3) normalized. Returns (trajectory_gray, final_rgb):
@@ -214,14 +215,24 @@ def trajectory_features(components: SDComponents, params, images,
         step_fn = jax.checkpoint(step_fn)
 
     keys = jax.random.split(key, len(ts))
-    carry = {"emb": trajectory_text_emb(components, params, images.shape[0])}
+    carry = {"emb": trajectory_text_emb(components, params, images.shape[0],
+                                        sharding=context_sharding)}
     _, (grays, rgbs) = jax.lax.scan(step_fn, carry, (t_values, scales, keys))
     trajectory = jnp.moveaxis(grays, 0, -1)  # (B, 64, 64, T)
     final_rgb = rgbs[-1]
     return trajectory, final_rgb
 
 
-def trajectory_text_emb(components: SDComponents, params, batch_size: int):
-    ids = jnp.asarray([list(components.prompt_ids)] * batch_size, jnp.int32)
+def trajectory_text_emb(components: SDComponents, params, batch_size: int,
+                        sharding=None):
+    """Prompt embedding for the fixed training prompt, computed once at batch
+    1 and broadcast. ``sharding`` (a replicated NamedSharding) pins the tiny
+    (B, 77ish, D) tensor replicated under pjit — batch-sharding it forces
+    GSPMD reshards in every cross-attention (SPMD remat warnings)."""
+    ids = jnp.asarray([list(components.prompt_ids)], jnp.int32)
     hidden = components.text.apply({"params": params["text"]}, ids)
-    return apply_proj(params["proj"], hidden)
+    emb = apply_proj(params["proj"], hidden)
+    emb = jnp.broadcast_to(emb, (batch_size,) + emb.shape[1:])
+    if sharding is not None:
+        emb = jax.lax.with_sharding_constraint(emb, sharding)
+    return emb

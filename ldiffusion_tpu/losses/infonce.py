@@ -36,8 +36,17 @@ def _gumbel(key, shape):
 
 
 def contrastive_loss(features, labels, key, temperature: float = 0.5,
-                     num_negatives: int = 1024, num_anchors: int = 64):
+                     num_negatives: int = 1024, num_anchors: int = 64,
+                     num_classes: Optional[int] = None):
     """features: (B, H, W, C) trajectory features; labels: (B, H, W) int.
+
+    When ``num_classes`` is given, the first ``num_classes`` anchor slots are
+    pinned one-per-present-class (the reference samples ``max(1, 1% of class
+    pixels)`` anchors per class, ``loss.py:65-77`` — the floor guarantees rare
+    classes always contribute gradient); remaining slots are uniform over
+    pixels, matching the reference's ~area-proportional counts. Without it,
+    all anchors are uniform (area-proportional in expectation, rare classes
+    may get none).
 
     Returns scalar loss (mean CE over valid anchors across the batch).
     """
@@ -45,15 +54,29 @@ def contrastive_loss(features, labels, key, temperature: float = 0.5,
     n = h * w
     feats = features.reshape(b, n, c).astype(jnp.float32)
     labs = labels.reshape(b, n)
+    if num_classes is not None and num_classes >= num_anchors:
+        raise ValueError(f"num_anchors={num_anchors} must exceed num_classes={num_classes}")
 
     def per_image(feat, lab, k):
-        k_anchor, k_pos, k_neg = jax.random.split(k, 3)
-        anchor_idx = jax.random.randint(k_anchor, (num_anchors,), 0, n)
+        k_anchor, k_pos, k_neg, k_cls = jax.random.split(k, 4)
+        if num_classes is None:
+            anchor_idx = jax.random.randint(k_anchor, (num_anchors,), 0, n)
+            present = jnp.ones((num_anchors,), bool)
+        else:
+            class_mask = lab[None, :] == jnp.arange(num_classes)[:, None]  # (C,N)
+            cls_scores = jnp.where(class_mask, _gumbel(k_cls, (num_classes, n)), -jnp.inf)
+            cls_idx = jnp.argmax(cls_scores, axis=1)                       # (C,)
+            uni_idx = jax.random.randint(k_anchor, (num_anchors - num_classes,), 0, n)
+            anchor_idx = jnp.concatenate([cls_idx, uni_idx])
+            present = jnp.concatenate([
+                class_mask.any(axis=1),
+                jnp.ones((num_anchors - num_classes,), bool),
+            ])
         anchor_lab = lab[anchor_idx]                      # (A,)
         same = lab[None, :] == anchor_lab[:, None]        # (A, N)
         n_same = jnp.sum(same, axis=1)                    # (A,)
         n_diff = n - n_same
-        valid = (n_same > 1) & (n_diff > num_negatives)   # loss.py:77
+        valid = present & (n_same > 1) & (n_diff > num_negatives)  # loss.py:77
 
         # positive: same class, exclude self
         pos_mask = same.at[jnp.arange(num_anchors), anchor_idx].set(False)
@@ -93,21 +116,39 @@ class InfoNceLoss:
     temperature: float = 0.5
     num_negatives: int = 1024
     num_anchors: int = 64
+    num_classes: Optional[int] = None
+    pretrained_vgg: bool = False
 
     @classmethod
     def create(cls, rng=None, vgg_weights_path: Optional[str] = None, **kw) -> "InfoNceLoss":
+        """``vgg_weights_path`` may be an explicit path, or unset to use the
+        ``LDIFFUSION_VGG19_WEIGHTS`` env var. Without weights the content loss
+        runs on a random frozen VGG — a deterministic multiscale feature MSE,
+        but NOT the reference's pretrained-VGG19 semantics (``model/loss.py:
+        19-27``); a loud warning is emitted so this never happens silently."""
+        import os
+        import warnings
+
         vgg = VGG19Features()
+        vgg_weights_path = vgg_weights_path or os.environ.get("LDIFFUSION_VGG19_WEIGHTS")
         if vgg_weights_path:
-            from ldiffusion_tpu.models.vgg import convert_vgg19
             from ldiffusion_tpu.models.safetensors_io import load_state_dict
+            from ldiffusion_tpu.models.vgg import convert_vgg19
 
             params = convert_vgg19(load_state_dict(vgg_weights_path))
+            pretrained = True
         else:
-            # Random frozen VGG (fixed seed): still a deterministic multiscale
-            # feature MSE; swap in torchvision weights for strict parity.
+            warnings.warn(
+                "InfoNceLoss: no VGG19 weights provided — content loss uses a "
+                "RANDOM frozen VGG, deviating from the reference's pretrained "
+                "VGG19 (model/loss.py:19-27). Pass vgg_weights_path= or set "
+                "LDIFFUSION_VGG19_WEIGHTS to a torchvision vgg19 state dict.",
+                stacklevel=2,
+            )
             rng = jax.random.key(7) if rng is None else rng
             params = vgg.init(rng, jnp.zeros((1, 64, 64, 3)))["params"]
-        return cls(vgg=vgg, vgg_params=params, **kw)
+            pretrained = False
+        return cls(vgg=vgg, vgg_params=params, pretrained_vgg=pretrained, **kw)
 
     def content_loss(self, original, generated):
         """VGG feature MSE at 224x224 (reference ``loss.py:19-42``).
@@ -121,5 +162,6 @@ class InfoNceLoss:
     def __call__(self, original_image, generated_image, features, labels, key):
         content = self.content_loss(original_image, generated_image)
         contrast = contrastive_loss(features, labels, key, self.temperature,
-                                    self.num_negatives, self.num_anchors)
+                                    self.num_negatives, self.num_anchors,
+                                    self.num_classes)
         return content + contrast

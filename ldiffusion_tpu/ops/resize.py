@@ -6,8 +6,10 @@ XLA (``jax.image.resize``), so it fuses into surrounding compute and never
 leaves HBM.
 
 Semantics: ``bilinear`` uses half-pixel centers == torch
-``align_corners=False``; ``nearest`` matches torch's floor convention for
-integer upscales (the only uses in the pipeline).
+``align_corners=False`` — including on DOWNSCALE, where torch F.interpolate
+does not antialias by default, so ``antialias=False`` is forced (jax.image
+defaults to True when shrinking); ``nearest`` matches torch's floor
+convention for integer upscales (the only uses in the pipeline).
 """
 from __future__ import annotations
 
@@ -23,7 +25,7 @@ def resize_bilinear(x: jax.Array, size, channel_last: bool = True) -> jax.Array:
         shape = x.shape[:-3] + (h, w, x.shape[-1])
     else:
         shape = x.shape[:-2] + (h, w)
-    return jax.image.resize(x, shape, method="bilinear").astype(x.dtype)
+    return jax.image.resize(x, shape, method="bilinear", antialias=False).astype(x.dtype)
 
 
 def resize_nearest(x: jax.Array, size, channel_last: bool = True) -> jax.Array:

@@ -89,12 +89,17 @@ class SegmentorTrainer:
         else:
             inner = lambda learning_rate: optax.sgd(learning_rate, momentum=config.momentum,
                                                     nesterov=True)
-        self.tx = optax.chain(
-            optax.clip_by_global_norm(config.grad_clip),
-            optax.inject_hyperparams(inner)(learning_rate=config.initial_lr),
-        )
-        # torch SGD(weight_decay=3e-5) is coupled L2: add wd*param to the
-        # grads before the sgd update (reference nnUNetTrainer.py:145-146)
+        # torch order (reference nnUNetTrainer.py:145-146, :907-911): clip the
+        # raw grads (clip_grad_norm_ 12), then the optimizer applies coupled
+        # L2 (wd*param added to the clipped grad) inside the step.
+        def make_tx(learning_rate):
+            return optax.chain(
+                optax.clip_by_global_norm(config.grad_clip),
+                optax.add_decayed_weights(config.weight_decay),
+                inner(learning_rate),
+            )
+
+        self.tx = optax.inject_hyperparams(make_tx)(learning_rate=config.initial_lr)
         self.weight_decay = config.weight_decay
 
         params = jax.device_put(params, self.mesh.replicated)
@@ -150,13 +155,10 @@ class SegmentorTrainer:
             cur = seg
             for s in self.plan.strides[1:]:
                 if s > 1:
-                    cur = cur[:, ::s, ::s]
+                    cur = _downsample_seg(cur, s, self.plan.num_classes)
                     seg_list.append(cur)
             seg_list = seg_list[:n_ds]
             loss, grads = jax.value_and_grad(self._loss)(state.params, data, seg_list)
-            grads = jax.tree_util.tree_map(
-                lambda g, p: g + self.weight_decay * p, grads, state.params
-            )
             updates, opt_state = self.tx.update(grads, _set_lr(state.opt_state, lr),
                                                 state.params)
             params = optax.apply_updates(state.params, updates)
@@ -372,10 +374,27 @@ class SegmentorTrainer:
         self.epoch_log.load_state_dict(ck["logger"])
 
 
+def _downsample_seg(seg, s: int, num_classes: int):
+    """Majority-vote (mode) pool of int labels over s x s windows.
+
+    Replaces stride-slice decimation, which aliases away thin structures; the
+    reference downsamples the seg with interpolation for deep supervision
+    (nnUNet DS downsampling transform, ``nnUNetTrainer.py:673-795``). The -1
+    outside-crop/ignore value votes as its own channel and wins only when it
+    dominates the window. seg: (B, H, W) int."""
+    onehot = jax.nn.one_hot(seg + 1, num_classes + 1, dtype=jnp.float32)
+    pooled = jax.lax.reduce_window(onehot, 0.0, jax.lax.add,
+                                   (1, s, s, 1), (1, s, s, 1), "VALID")
+    return (jnp.argmax(pooled, axis=-1) - 1).astype(seg.dtype)
+
+
 def _set_lr(opt_state, lr):
-    """Update the injected learning_rate hyperparam inside the optax chain."""
-    inner = opt_state[1]
-    hp = dict(inner.hyperparams)
-    hp["learning_rate"] = lr
-    new_inner = inner._replace(hyperparams=hp)
-    return (opt_state[0], new_inner) + tuple(opt_state[2:])
+    """Update the injected learning_rate hyperparam.
+
+    ``self.tx`` is ``inject_hyperparams`` wrapped around the WHOLE chain, so
+    the state is an ``InjectHyperparamsState`` whose top-level ``hyperparams``
+    dict is the documented mutation point (no positional indexing into the
+    chain's inner states)."""
+    hp = dict(opt_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, dtype=jnp.asarray(hp["learning_rate"]).dtype)
+    return opt_state._replace(hyperparams=hp)

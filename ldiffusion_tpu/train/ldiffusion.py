@@ -52,7 +52,7 @@ class DiffusionWarmupTrainer:
         self.fsdp_min_size = fsdp_min_size
         self.work_dir = work_dir
         self.log = TextLogger()
-        self.info_nce = info_nce or InfoNceLoss.create()
+        self.info_nce = info_nce or InfoNceLoss.create(num_classes=config.num_classes)
         self.tx = optax.chain(
             optax.clip_by_global_norm(config.grad_clip),
             optax.adamw(config.learning_rate, b1=config.betas[0], b2=config.betas[1],
@@ -93,7 +93,8 @@ class DiffusionWarmupTrainer:
         steps = max(1, int(self.cfg.num_inference_steps / 5))
         k_noise, k_contrast = jax.random.split(key)
         traj, final_rgb = trajectory_features(
-            self.c, params, images, k_noise, steps, remat=self.cfg.remat
+            self.c, params, images, k_noise, steps, remat=self.cfg.remat,
+            context_sharding=self.mesh.replicated,
         )
         # content loss: reference upsamples decode 64→1024 then VGG resizes to
         # 224 (ldiffusion.py:251, loss.py:35-36) — a pure bilinear chain, so we
@@ -102,7 +103,8 @@ class DiffusionWarmupTrainer:
         contrast = contrastive_loss(traj, labels, k_contrast,
                                     self.info_nce.temperature,
                                     self.info_nce.num_negatives,
-                                    self.info_nce.num_anchors)
+                                    self.info_nce.num_anchors,
+                                    self.info_nce.num_classes)
         return content + contrast, {"content": content, "contrast": contrast}
 
     def _make_train_step(self):
@@ -163,7 +165,10 @@ class DiffusionWarmupTrainer:
     def save(self, save_dir: str):
         """Gather sharded params to host and save (sharded-native save needs
         no ZeRO-style GatheredParameters — jax.device_get reassembles)."""
+        from ldiffusion_tpu.core.checkpoint import _to_host
+
+        # all-process gather first (non-addressable FSDP shards), rank-0 write
+        params = jax.tree_util.tree_map(_to_host, self.state.params)
         if is_main_process():
-            params = jax.device_get(self.state.params)
             save_unet_dir(save_dir, self.c.unet_config, params["unet"], proj=params["proj"])
             self.log(f"saved checkpoint to {save_dir}")
