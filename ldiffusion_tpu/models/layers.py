@@ -172,7 +172,8 @@ class FeedForward(nn.Module):
         inner = self.dim * self.mult
         h = nn.Dense(inner * 2, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        h = h * nn.gelu(gate)
+        # exact (erf) gelu: diffusers GEGLU uses torch F.gelu, not tanh-approx
+        h = h * nn.gelu(gate, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out")(h)
 
 
@@ -186,7 +187,10 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context):
-        ln = lambda name: nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+        # eps 1e-5 = torch nn.LayerNorm default used by diffusers
+        # BasicTransformerBlock (flax default would be 1e-6)
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                       param_dtype=self.param_dtype, name=name)
         attn = lambda name: Attention(self.num_heads, self.head_dim, dtype=self.dtype,
                                       param_dtype=self.param_dtype, name=name)
         x = x + attn("attn1")(ln("norm1")(x))

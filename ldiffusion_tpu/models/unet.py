@@ -108,7 +108,7 @@ class UNet2DCondition(nn.Module):
                 h = ResnetBlock(ch, groups=cfg.norm_num_groups,
                                 name=f"down_{i}_resnet_{j}", **common)(h, temb)
                 if attn:
-                    h = Transformer2D(heads, ch // heads,
+                    h = Transformer2D(heads, ch // heads, groups=cfg.norm_num_groups,
                                       name=f"down_{i}_attn_{j}", **common)(h, ctx)
                 residuals.append(h)
             if i < len(cfg.block_out_channels) - 1:
@@ -121,7 +121,8 @@ class UNet2DCondition(nn.Module):
         # ---- mid ----
         mid_ch = cfg.block_out_channels[-1]
         h = ResnetBlock(mid_ch, groups=cfg.norm_num_groups, name="mid_resnet_0", **common)(h, temb)
-        h = Transformer2D(heads, mid_ch // heads, name="mid_attn", **common)(h, ctx)
+        h = Transformer2D(heads, mid_ch // heads, groups=cfg.norm_num_groups,
+                          name="mid_attn", **common)(h, ctx)
         h = ResnetBlock(mid_ch, groups=cfg.norm_num_groups, name="mid_resnet_1", **common)(h, temb)
         if mid_residual is not None:
             h = h + mid_residual
@@ -137,7 +138,7 @@ class UNet2DCondition(nn.Module):
                 h = ResnetBlock(ch, groups=cfg.norm_num_groups,
                                 name=f"up_{i}_resnet_{j}", **common)(h, temb)
                 if attn:
-                    h = Transformer2D(heads, ch // heads,
+                    h = Transformer2D(heads, ch // heads, groups=cfg.norm_num_groups,
                                       name=f"up_{i}_attn_{j}", **common)(h, ctx)
             if i < len(cfg.up_block_types) - 1:
                 h = Upsample(ch, name=f"up_{i}_upsample", **common)(h)
