@@ -94,7 +94,101 @@ class NibabelIO(BaseReaderWriter):
                                              affine), path)
 
 
-_REGISTRY = [NaturalImage2DIO, NibabelIO]
+class SimpleITKIO(BaseReaderWriter):
+    """Any-format volumes via SimpleITK (gated; reference
+    ``imageio/simpleitk_reader_writer.py``): arrays come back (c, Z, H, W)
+    float32 with itk's (x,y,z) spacing reversed to (z,y,x); segs written with
+    spacing/origin/direction restored from properties."""
+
+    supported_endings = (".mha", ".mhd", ".nrrd", ".gz", ".nii", ".nii.gz")
+
+    def __init__(self):
+        import SimpleITK  # noqa: F401  (raises if unavailable)
+
+        self._sitk = SimpleITK
+
+    def read_images(self, paths):
+        sitk = self._sitk
+        arrays, props = [], None
+        for p in paths:
+            img = sitk.ReadImage(p)
+            arrays.append(sitk.GetArrayFromImage(img).astype(np.float32))
+            if props is None:
+                props = {
+                    "spacing": list(img.GetSpacing())[::-1],
+                    "origin": list(img.GetOrigin()),
+                    "direction": list(img.GetDirection()),
+                }
+        data = np.stack(arrays)
+        if data.ndim == 3:          # 2D images → (c, 1, X, Y)
+            data = data[:, None]
+        return data, props
+
+    def read_seg(self, path):
+        data, props = self.read_images([path])
+        return data, props
+
+    def write_seg(self, seg, path, properties=None):
+        sitk = self._sitk
+        img = sitk.GetImageFromArray(np.squeeze(seg).astype(np.uint8))
+        if properties:
+            if "spacing" in properties:
+                img.SetSpacing(tuple(properties["spacing"][::-1]))
+            if "origin" in properties:
+                img.SetOrigin(tuple(properties["origin"]))
+            if "direction" in properties:
+                img.SetDirection(tuple(properties["direction"]))
+        sitk.WriteImage(img, path)
+
+
+class Tiff3DIO(BaseReaderWriter):
+    """3D multipage TIFF via tifffile (gated; reference
+    ``imageio/tif_reader_writer.py``): volumes (c, Z, H, W); spacing comes
+    from a sibling ``<name>.json`` (the reference's convention) or defaults
+    to unit."""
+
+    supported_endings = (".tif", ".tiff")
+
+    def __init__(self):
+        import tifffile  # noqa: F401  (raises if unavailable)
+
+        self._tiff = tifffile
+
+    def _spacing_for(self, path: str):
+        import json
+        import os
+
+        sidecar = os.path.splitext(path)[0] + ".json"
+        if os.path.exists(sidecar):
+            return list(json.load(open(sidecar)).get("spacing", (1.0, 1.0, 1.0)))
+        return [1.0, 1.0, 1.0]
+
+    def read_images(self, paths):
+        vols = [self._tiff.imread(p).astype(np.float32) for p in paths]
+        for v in vols:
+            assert v.ndim == 3, f"Tiff3DIO expects 3D stacks, got {v.shape}"
+        return np.stack(vols), {"spacing": self._spacing_for(paths[0])}
+
+    def read_seg(self, path):
+        vol = self._tiff.imread(path).astype(np.float32)
+        return vol[None], {"spacing": self._spacing_for(path)}
+
+    def write_seg(self, seg, path, properties=None):
+        import json
+        import os
+
+        self._tiff.imwrite(path, np.squeeze(seg).astype(np.uint8))
+        if properties and "spacing" in properties:
+            with open(os.path.splitext(path)[0] + ".json", "w") as f:
+                json.dump({"spacing": list(properties["spacing"])}, f)
+
+
+# order matters: 2D natural images claim .tif first (reference registry
+# priority, ``reader_writer_registry.py``); Tiff3DIO is selected explicitly
+# via dataset_json ``overwrite_image_reader_writer`` for 3D stacks
+_REGISTRY = [NaturalImage2DIO, NibabelIO, SimpleITKIO, Tiff3DIO]
+
+_BY_NAME = {cls.__name__: cls for cls in _REGISTRY}
 
 
 def determine_reader_writer(file_ending: str) -> BaseReaderWriter:
@@ -113,4 +207,9 @@ def determine_reader_writer(file_ending: str) -> BaseReaderWriter:
 
 
 def determine_reader_writer_from_dataset_json(dataset_json: Dict) -> BaseReaderWriter:
+    """Explicit ``overwrite_image_reader_writer`` wins (reference
+    ``reader_writer_registry.py:20-40``), else ending-based dispatch."""
+    name = dataset_json.get("overwrite_image_reader_writer")
+    if name and name in _BY_NAME:
+        return _BY_NAME[name]()
     return determine_reader_writer(dataset_json.get("file_ending", ".png"))

@@ -1,18 +1,20 @@
-"""Foreground-oversampled random patch sampling.
+"""Foreground-oversampled random patch sampling (2D and 3D).
 
-Behavioral contract: ``nnUNetDataLoader2D`` (reference
-``training/dataloading/base_data_loader.py:10-139``, ``data_loader_2d.py:6-87``):
-infinite random patches; the last ``round(batch*oversample)`` elements of each
-batch are forced to contain a randomly-chosen present foreground class
-(patch centered on one of its sampled locations); crops are padded with 0
-(data) / -1 (seg) when the bbox leaves the case.
+Behavioral contract: ``nnUNetDataLoader2D/3D`` (reference
+``training/dataloading/base_data_loader.py:10-139``, ``data_loader_2d.py:6-87``,
+``data_loader_3d.py:6-60``): infinite random patches; the last
+``round(batch*oversample)`` elements of each batch are forced to contain a
+randomly-chosen present foreground class (patch centered on one of its
+sampled locations); crops are padded with 0 (data) / -1 (seg) when the bbox
+leaves the case. Spatial rank comes from ``len(patch_size)`` — the same
+sampler is the 2D and the 3D loader.
 
 Host-side numpy (cheap gather/copy); batches stream to device where
 augmentation runs (``data/augment.py``).
 """
 from __future__ import annotations
 
-from typing import TYPE_CHECKING, Iterator, Tuple
+from typing import TYPE_CHECKING, Iterator, Sequence, Tuple
 
 import numpy as np
 
@@ -20,24 +22,28 @@ if TYPE_CHECKING:  # avoid circular import (segmentor.trainer imports us)
     from ldiffusion_tpu.segmentor.preprocess import PreprocessedDataset
 
 
-def _crop_with_pad(data: np.ndarray, seg: np.ndarray, lb: Tuple[int, int],
-                   patch: Tuple[int, int]):
-    h, w = data.shape[:2]
-    ph, pw = patch
-    y0, x0 = lb
-    y1, x1 = y0 + ph, x0 + pw
-    sy0, sx0 = max(0, y0), max(0, x0)
-    sy1, sx1 = min(h, y1), min(w, x1)
-    out_d = np.zeros((ph, pw, data.shape[-1]), data.dtype)
-    out_s = np.full((ph, pw), -1, seg.dtype)
-    oy, ox = sy0 - y0, sx0 - x0
-    out_d[oy:oy + (sy1 - sy0), ox:ox + (sx1 - sx0)] = data[sy0:sy1, sx0:sx1]
-    out_s[oy:oy + (sy1 - sy0), ox:ox + (sx1 - sx0)] = seg[sy0:sy1, sx0:sx1]
+def _crop_with_pad(data: np.ndarray, seg: np.ndarray, lb: Sequence[int],
+                   patch: Sequence[int]):
+    """N-D crop with out-of-bounds zero/-1 padding. data: (*spatial, C);
+    seg: (*spatial)."""
+    nd = len(patch)
+    shape = data.shape[:nd]
+    src = []
+    dst = []
+    for ax in range(nd):
+        a0, a1 = lb[ax], lb[ax] + patch[ax]
+        s0, s1 = max(0, a0), min(shape[ax], a1)
+        src.append(slice(s0, s1))
+        dst.append(slice(s0 - a0, s0 - a0 + (s1 - s0)))
+    out_d = np.zeros(tuple(patch) + (data.shape[-1],), data.dtype)
+    out_s = np.full(tuple(patch), -1, seg.dtype)
+    out_d[tuple(dst)] = data[tuple(src)]
+    out_s[tuple(dst)] = seg[tuple(src)]
     return out_d, out_s
 
 
 class PatchSampler:
-    def __init__(self, dataset: "PreprocessedDataset", patch_size: Tuple[int, int],
+    def __init__(self, dataset: "PreprocessedDataset", patch_size: Sequence[int],
                  batch_size: int, oversample_fg: float = 0.33, seed: int = 0):
         self.ds = dataset
         self.keys = dataset.keys()
@@ -52,21 +58,26 @@ class PatchSampler:
 
     def sample_one(self, force_fg: bool):
         case = self.ds[self.keys[self.rng.integers(len(self.keys))]]
-        h, w = case.seg.shape
-        ph, pw = self.patch
-        need = (max(0, ph - h), max(0, pw - w))
-        lb_min = (-(need[0] // 2), -(need[1] // 2))
-        lb_max = (h + need[0] // 2 + need[0] % 2 - ph, w + need[1] // 2 + need[1] % 2 - pw)
+        shape = case.seg.shape
+        patch = self.patch
+        nd = len(patch)
+        assert len(shape) == nd, f"case rank {len(shape)} != patch rank {nd}"
+        need = [max(0, patch[ax] - shape[ax]) for ax in range(nd)]
+        lb_min = [-(need[ax] // 2) for ax in range(nd)]
+        lb_max = [shape[ax] + need[ax] // 2 + need[ax] % 2 - patch[ax]
+                  for ax in range(nd)]
         locs = case.properties["class_locations"]
         if force_fg and locs:
             cls = list(locs.keys())[self.rng.integers(len(locs))]
             cl = locs[cls]
-            y, x = cl[self.rng.integers(cl.shape[0])]
-            lb = (int(np.clip(y - ph // 2, lb_min[0], max(lb_min[0], lb_max[0]))),
-                  int(np.clip(x - pw // 2, lb_min[1], max(lb_min[1], lb_max[1]))))
+            center = cl[self.rng.integers(cl.shape[0])]
+            lb = tuple(int(np.clip(center[ax] - patch[ax] // 2, lb_min[ax],
+                                   max(lb_min[ax], lb_max[ax])))
+                       for ax in range(nd))
         else:
-            lb = (int(self.rng.integers(lb_min[0], max(lb_min[0], lb_max[0]) + 1)),
-                  int(self.rng.integers(lb_min[1], max(lb_min[1], lb_max[1]) + 1)))
+            lb = tuple(int(self.rng.integers(lb_min[ax],
+                                             max(lb_min[ax], lb_max[ax]) + 1))
+                       for ax in range(nd))
         return _crop_with_pad(case.data, case.seg, lb, self.patch)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:

@@ -119,6 +119,111 @@ def evaluate(pred_dir: str, gt_dir: str, num_classes: int, level: Optional[str] 
     return report
 
 
+# ---------------------------------------------------------------------------
+# Instance-level metrics (PQ / AJI)
+# ---------------------------------------------------------------------------
+
+def _pairwise_intersections(pred: np.ndarray, gt: np.ndarray):
+    """Dense instance-overlap bookkeeping for two int instance maps (0 = bg).
+
+    Returns (inter, pred_areas, gt_areas, pred_ids, gt_ids) where
+    ``inter[i, j]`` is the pixel overlap between ``gt_ids[i]`` and
+    ``pred_ids[j]``. One bincount over joint ids — no per-instance loops.
+    """
+    pred_ids = np.unique(pred)
+    pred_ids = pred_ids[pred_ids != 0]
+    gt_ids = np.unique(gt)
+    gt_ids = gt_ids[gt_ids != 0]
+    # densify ids to 0..n (0 stays background)
+    pred_map = np.zeros(int(pred.max()) + 1, np.int64)
+    pred_map[pred_ids] = np.arange(1, len(pred_ids) + 1)
+    gt_map = np.zeros(int(gt.max()) + 1, np.int64)
+    gt_map[gt_ids] = np.arange(1, len(gt_ids) + 1)
+    p = pred_map[pred.astype(np.int64)]
+    g = gt_map[gt.astype(np.int64)]
+    np_, ng = len(pred_ids), len(gt_ids)
+    joint = g.reshape(-1) * (np_ + 1) + p.reshape(-1)
+    counts = np.bincount(joint, minlength=(ng + 1) * (np_ + 1))
+    table = counts.reshape(ng + 1, np_ + 1)
+    inter = table[1:, 1:]                      # (ng, np) gt x pred overlaps
+    gt_areas = table[1:, :].sum(axis=1)
+    pred_areas = table[:, 1:].sum(axis=0)
+    return inter, pred_areas, gt_areas, pred_ids, gt_ids
+
+
+def panoptic_quality(pred: np.ndarray, gt: np.ndarray,
+                     iou_threshold: float = 0.5) -> Dict:
+    """Panoptic Quality for instance maps (Kirillov et al. 2019).
+
+    Matches at IoU > 0.5 are provably unique, so no assignment problem is
+    needed. Returns PQ = SQ * RQ plus the parts and raw counts. The reference
+    framework has no instance metric at all (its cellpose path is unscored);
+    BASELINE.md's Dice/PQ target makes this a first-class metric here.
+    """
+    inter, pred_areas, gt_areas, _, _ = _pairwise_intersections(pred, gt)
+    ng, np_ = inter.shape
+    if ng == 0 and np_ == 0:
+        return {"pq": 1.0, "sq": 1.0, "rq": 1.0, "tp": 0, "fp": 0, "fn": 0,
+                "iou_sum": 0.0}
+    union = gt_areas[:, None] + pred_areas[None, :] - inter
+    iou = inter / np.maximum(union, 1)
+    matched = iou > iou_threshold                      # unique by construction
+    tp = int(matched.sum())
+    fp = int(np_ - matched.any(axis=0).sum())
+    fn = int(ng - matched.any(axis=1).sum())
+    iou_sum = float(iou[matched].sum())
+    denom = tp + 0.5 * fp + 0.5 * fn
+    pq = iou_sum / denom if denom > 0 else 0.0
+    sq = iou_sum / tp if tp > 0 else 0.0
+    rq = tp / denom if denom > 0 else 0.0
+    return {"pq": float(pq), "sq": float(sq), "rq": float(rq),
+            "tp": tp, "fp": fp, "fn": fn, "iou_sum": iou_sum}
+
+
+def aggregated_jaccard_index(pred: np.ndarray, gt: np.ndarray) -> float:
+    """AJI (Kumar et al. 2017): each GT instance greedily claims its
+    best-IoU prediction (used at most once); aggregate intersection over
+    aggregate union, with unclaimed predictions added to the union."""
+    inter, pred_areas, gt_areas, _, _ = _pairwise_intersections(pred, gt)
+    ng, np_ = inter.shape
+    if ng == 0:
+        return 1.0 if np_ == 0 else 0.0
+    union = gt_areas[:, None] + pred_areas[None, :] - inter
+    iou = inter / np.maximum(union, 1)
+    used = np.zeros(np_, bool)
+    c = u = 0.0
+    for i in range(ng):
+        j = int(np.argmax(iou[i])) if np_ else -1
+        if np_ and inter[i, j] > 0:
+            c += inter[i, j]
+            u += union[i, j]
+            used[j] = True
+        else:
+            u += gt_areas[i]
+    u += pred_areas[~used].sum()
+    return float(c / u) if u > 0 else 0.0
+
+
+def evaluate_instances(preds, gts, iou_threshold: float = 0.5) -> Dict:
+    """Dataset-level instance evaluation: PQ pooled over images (summing
+    TP/FP/FN/IoU like COCO panoptic) + mean AJI."""
+    tp = fp = fn = 0
+    iou_sum = 0.0
+    ajis = []
+    for p, g in zip(preds, gts):
+        m = panoptic_quality(p, g, iou_threshold)
+        tp += m["tp"]; fp += m["fp"]; fn += m["fn"]; iou_sum += m["iou_sum"]
+        ajis.append(aggregated_jaccard_index(p, g))
+    denom = tp + 0.5 * fp + 0.5 * fn
+    return {
+        "pq": float(iou_sum / denom) if denom > 0 else 1.0,
+        "sq": float(iou_sum / tp) if tp > 0 else 0.0,
+        "rq": float(tp / denom) if denom > 0 else 0.0,
+        "tp": tp, "fp": fp, "fn": fn,
+        "mean_aji": float(np.mean(ajis)) if ajis else 1.0,
+    }
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="Offline segmentation metrics "
                                             "(Dice/IoU/mPA/FWIoU)")

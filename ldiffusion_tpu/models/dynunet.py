@@ -32,6 +32,13 @@ class DynUNetConfig:
     deep_supervision: bool = True
     norm_eps: float = 1e-5
     negative_slope: float = 0.01
+    # "plain": [conv-IN-lrelu]xN stages (PlainConvUNet). "residual": encoder
+    # stages are BasicBlockD residual blocks (ResidualEncoderUNet, reference
+    # ``experiment_planning/experiment_planners/resencUNet_planner.py`` /
+    # dynamic-network-architectures ResidualEncoderUNet); decoder stays plain.
+    block_type: str = "plain"
+    # residual blocks per encoder stage (ResEnc-M schedule when None)
+    n_blocks_per_stage: Tuple[int, ...] = ()
 
     @property
     def n_stages(self) -> int:
@@ -82,6 +89,45 @@ class ConvBlock(nn.Module):
         return nn.leaky_relu(x, self.negative_slope)
 
 
+class ResidualBlock(nn.Module):
+    """BasicBlockD: conv(stride)-IN-lrelu → conv-IN, skip via 1x1-conv+IN on
+    shape change, lrelu after the add (nnUNet's residual encoder block,
+    reference resencUNet_planner.py → dynamic_network_architectures
+    BasicBlockD semantics)."""
+
+    features: int
+    stride: int = 1
+    kernel_size: int = 3
+    eps: float = 1e-5
+    negative_slope: float = 0.01
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        conv = lambda name, stride: nn.Conv(
+            self.features, (k, k), strides=(stride, stride), padding=k // 2,
+            dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+        norm = lambda name: InstanceNorm(self.eps, dtype=self.dtype,
+                                         param_dtype=self.param_dtype, name=name)
+        h = nn.leaky_relu(norm("norm1")(conv("conv1", self.stride)(x)),
+                          self.negative_slope)
+        h = norm("norm2")(conv("conv2", 1)(h))
+        if self.stride != 1 or x.shape[-1] != self.features:
+            x = nn.Conv(self.features, (1, 1), strides=(self.stride, self.stride),
+                        dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="downsample_conv")(x)
+            x = InstanceNorm(self.eps, dtype=self.dtype,
+                             param_dtype=self.param_dtype,
+                             name="downsample_norm")(x)
+        return nn.leaky_relu(h + x, self.negative_slope)
+
+
+# ResEnc-M per-stage encoder block counts (nnUNetPlannerResEncM defaults)
+RESENC_M_BLOCKS = (1, 3, 4, 6, 6, 6, 6)
+
+
 class DynUNet(nn.Module):
     config: DynUNetConfig = DynUNetConfig()
     dtype: jnp.dtype = jnp.float32
@@ -99,12 +145,22 @@ class DynUNet(nn.Module):
         x = x.astype(self.dtype)
 
         skips: List[jax.Array] = []
-        for s in range(cfg.n_stages):
-            feats = cfg.features_per_stage[s]
-            x = ConvBlock(feats, stride=cfg.strides[s], name=f"enc_{s}_0", **common)(x)
-            for c in range(1, cfg.n_conv_per_stage):
-                x = ConvBlock(feats, name=f"enc_{s}_{c}", **common)(x)
-            skips.append(x)
+        if cfg.block_type == "residual":
+            blocks = cfg.n_blocks_per_stage or RESENC_M_BLOCKS[:cfg.n_stages]
+            for s in range(cfg.n_stages):
+                feats = cfg.features_per_stage[s]
+                x = ResidualBlock(feats, stride=cfg.strides[s],
+                                  name=f"enc_{s}_0", **common)(x)
+                for c in range(1, blocks[s]):
+                    x = ResidualBlock(feats, name=f"enc_{s}_{c}", **common)(x)
+                skips.append(x)
+        else:
+            for s in range(cfg.n_stages):
+                feats = cfg.features_per_stage[s]
+                x = ConvBlock(feats, stride=cfg.strides[s], name=f"enc_{s}_0", **common)(x)
+                for c in range(1, cfg.n_conv_per_stage):
+                    x = ConvBlock(feats, name=f"enc_{s}_{c}", **common)(x)
+                skips.append(x)
 
         seg_outputs: List[jax.Array] = []
         for d in range(cfg.n_stages - 2, -1, -1):

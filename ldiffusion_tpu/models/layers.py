@@ -29,6 +29,7 @@ class FusedGroupNormSiLU(nn.Module):
 
     groups: int = 32
     eps: float = 1e-5
+    silu: bool = True
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -39,7 +40,7 @@ class FusedGroupNormSiLU(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
         return groupnorm_silu_trainable(
             x.astype(self.dtype), scale.astype(jnp.float32),
-            bias.astype(jnp.float32), self.groups, self.eps, True
+            bias.astype(jnp.float32), self.groups, self.eps, self.silu
         ).astype(self.dtype)
 
 
@@ -217,8 +218,8 @@ class Transformer2D(nn.Module):
     def __call__(self, x, context):
         b, h, w, c = x.shape
         residual = x
-        x = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype,
-                         name="norm")(x)
+        x = FusedGroupNormSiLU(self.groups, 1e-6, silu=False, dtype=self.dtype,
+                               param_dtype=self.param_dtype, name="norm")(x)
         x = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in")(x)
         x = x.reshape(b, h * w, c)
         for i in range(self.depth):
@@ -243,8 +244,8 @@ class VAEAttention(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         residual = x
-        y = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype,
-                         name="group_norm")(x)
+        y = FusedGroupNormSiLU(self.groups, 1e-6, silu=False, dtype=self.dtype,
+                               param_dtype=self.param_dtype, name="group_norm")(x)
         y = y.reshape(b, h * w, c)
         dense = lambda name: nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name=name)
         q = dense("to_q")(y)[:, :, None, :]  # single head

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from ldiffusion_tpu.models.layers import (
     Downsample,
+    FusedGroupNormSiLU,
     ResnetBlock,
     TimeEmbedding,
     Transformer2D,
@@ -143,7 +144,7 @@ class UNet2DCondition(nn.Module):
             if i < len(cfg.up_block_types) - 1:
                 h = Upsample(ch, name=f"up_{i}_upsample", **common)(h)
 
-        h = nn.GroupNorm(cfg.norm_num_groups, epsilon=1e-5, name="conv_norm_out", **common)(h)
-        h = nn.silu(h)
+        h = FusedGroupNormSiLU(cfg.norm_num_groups, 1e-5, name="conv_norm_out",
+                               **common)(h)
         h = nn.Conv(cfg.out_channels, (3, 3), padding=1, name="conv_out", **common)(h)
         return h.astype(jnp.float32)

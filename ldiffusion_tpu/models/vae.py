@@ -17,7 +17,13 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ldiffusion_tpu.models.layers import Downsample, ResnetBlock, Upsample, VAEAttention
+from ldiffusion_tpu.models.layers import (
+    Downsample,
+    FusedGroupNormSiLU,
+    ResnetBlock,
+    Upsample,
+    VAEAttention,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,8 +66,8 @@ class Encoder(nn.Module):
         h = rb(ch, "mid_resnet_0")(h)
         h = VAEAttention(ch, groups=cfg.norm_num_groups, name="mid_attn", **common)(h)
         h = rb(ch, "mid_resnet_1")(h)
-        h = nn.GroupNorm(cfg.norm_num_groups, epsilon=1e-6, name="conv_norm_out", **common)(h)
-        h = nn.silu(h)
+        h = FusedGroupNormSiLU(cfg.norm_num_groups, 1e-6, name="conv_norm_out",
+                               **common)(h)
         return nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1, name="conv_out", **common)(h)
 
 
@@ -86,8 +92,8 @@ class Decoder(nn.Module):
                 h = rb(ch, f"up_{i}_resnet_{j}")(h)
             if i < len(cfg.block_out_channels) - 1:
                 h = Upsample(ch, name=f"up_{i}_upsample", **common)(h)
-        h = nn.GroupNorm(cfg.norm_num_groups, epsilon=1e-6, name="conv_norm_out", **common)(h)
-        h = nn.silu(h)
+        h = FusedGroupNormSiLU(cfg.norm_num_groups, 1e-6, name="conv_norm_out",
+                               **common)(h)
         return nn.Conv(cfg.out_channels, (3, 3), padding=1, name="conv_out", **common)(h)
 
 

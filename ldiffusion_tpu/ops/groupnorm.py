@@ -35,12 +35,32 @@ def set_groupnorm_mode(mode: str) -> None:
 
 
 def _xla_groupnorm_silu(x, scale, bias, groups: int, eps: float, silu: bool):
+    """Channel-minor formulation: per-channel sum/sumsq over (H, W) first
+    (layout-friendly reductions, C stays on lanes), then the group reduction
+    on tiny (B, G) arrays, then one fused elementwise normalize pass.
+
+    The naive ``reshape(b, hw, g, c/g)`` + reduce over (1, 3) forces XLA to
+    materialize an f32 layout-changed copy of the whole tensor at VAE
+    resolutions (profiled at ~60 ms/iter of f32 copies + reductions running
+    at <10% HBM bandwidth in the 512² pipeline); this version has no big
+    intermediate at all."""
     b, h, w, c = x.shape
-    xg = x.reshape(b, h * w, groups, c // groups).astype(jnp.float32)
-    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
-    var = jnp.var(xg, axis=(1, 3), keepdims=True)
-    y = (xg - mean) * jax.lax.rsqrt(var + eps)
-    y = y.reshape(b, h, w, c) * scale + bias
+    xf = x.astype(jnp.float32)
+    s_c = jnp.sum(xf, axis=(1, 2))                     # (B, C)
+    ss_c = jnp.sum(xf * xf, axis=(1, 2))               # (B, C)
+    s_g = jnp.sum(s_c.reshape(b, groups, c // groups), axis=2)    # (B, G)
+    ss_g = jnp.sum(ss_c.reshape(b, groups, c // groups), axis=2)
+    n = h * w * (c // groups)
+    mean_g = s_g / n
+    var_g = ss_g / n - mean_g * mean_g
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    # broadcast group stats back to channels: (B, C)
+    mean_c = jnp.repeat(mean_g, c // groups, axis=1)
+    rstd_c = jnp.repeat(rstd_g, c // groups, axis=1)
+    mul = (rstd_c * scale[None, :].astype(jnp.float32))[:, None, None, :]
+    add = (bias[None, :].astype(jnp.float32)
+           - mean_c * rstd_c * scale[None, :].astype(jnp.float32))[:, None, None, :]
+    y = xf * mul + add
     if silu:
         y = y * jax.nn.sigmoid(y)
     return y.astype(x.dtype)

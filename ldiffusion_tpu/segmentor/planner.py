@@ -27,7 +27,7 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 
-from ldiffusion_tpu.models.dynunet import DynUNetConfig
+from ldiffusion_tpu.models.dynunet import RESENC_M_BLOCKS, DynUNetConfig
 
 MAX_FEATURES_2D = 512
 BASE_FEATURES = 32
@@ -54,6 +54,10 @@ class SegPlan:
     median_shape: Tuple[int, int]
     batch_dice: bool
     deep_supervision: bool = True
+    # "plain" (PlainConvUNet) or "residual" (ResidualEncoderUNet — the ResEnc
+    # planner variant, reference resencUNet_planner.py)
+    block_type: str = "plain"
+    n_blocks_per_stage: Tuple[int, ...] = ()
 
     def network_config(self) -> DynUNetConfig:
         return DynUNetConfig(
@@ -63,6 +67,8 @@ class SegPlan:
             strides=self.strides,
             n_conv_per_stage=self.n_conv_per_stage,
             deep_supervision=self.deep_supervision,
+            block_type=self.block_type,
+            n_blocks_per_stage=tuple(self.n_blocks_per_stage),
         )
 
     def to_json(self) -> str:
@@ -76,8 +82,10 @@ class SegPlan:
     @classmethod
     def load(cls, path: str) -> "SegPlan":
         d = json.load(open(path))
-        for k in ("patch_size", "features_per_stage", "strides", "median_shape"):
-            d[k] = tuple(d[k])
+        for k in ("patch_size", "features_per_stage", "strides", "median_shape",
+                  "n_blocks_per_stage"):
+            if k in d:
+                d[k] = tuple(d[k])
         return cls(**d)
 
 
@@ -123,17 +131,26 @@ def _estimate_bytes(patch, features, strides, in_ch, num_classes) -> float:
 
 def plan_experiment(fingerprint: Dict, num_classes: int,
                     hbm_budget: int = HBM_BUDGET_BYTES,
-                    max_batch: Optional[int] = None) -> SegPlan:
+                    max_batch: Optional[int] = None,
+                    planner: str = "default") -> SegPlan:
+    """``planner``: "default" (PlainConvUNet plan) or "resenc" (residual
+    encoder, the nnUNetPlannerResEnc* analog — reference
+    ``experiment_planning/experiment_planners/resencUNet_planner.py``: same
+    topology rules, ResidualEncoderUNet with the ResEnc-M per-stage block
+    schedule; the activation estimate scales by the extra encoder blocks)."""
+    resenc = planner == "resenc"
     shapes = np.asarray(fingerprint["shapes_after_crop"], np.int64)
     median_shape = tuple(int(x) for x in np.median(shapes, axis=0))
     in_ch = int(fingerprint.get("num_channels", 3))
+    # ResEnc-M runs ~2.3x the encoder activations of the plain 2-conv stages
+    act_scale = 2.3 if resenc else 1.0
 
     # initial patch: median shape (reference :399 — 2d uses in-plane median)
     patch = tuple(median_shape)
     features, strides, patch = _topology(patch)
 
     # shrink until one sample fits the per-sample budget (budget/MIN_BATCH)
-    while _estimate_bytes(patch, features, strides, in_ch, num_classes) \
+    while act_scale * _estimate_bytes(patch, features, strides, in_ch, num_classes) \
             > hbm_budget / MIN_BATCH and min(patch) > 2 * MIN_EDGE:
         # halve the largest axis (reference shrinks the worst offender axis)
         axis = int(np.argmax(patch))
@@ -141,7 +158,8 @@ def plan_experiment(fingerprint: Dict, num_classes: int,
         new_patch[axis] = max(MIN_EDGE, new_patch[axis] // 2)
         features, strides, patch = _topology(tuple(new_patch))
 
-    per_sample = _estimate_bytes(patch, features, strides, in_ch, num_classes)
+    per_sample = act_scale * _estimate_bytes(patch, features, strides, in_ch,
+                                             num_classes)
     batch = max(MIN_BATCH, int(hbm_budget / per_sample))
 
     # 5%-of-dataset cap (reference :437-449 batch-size rule)
@@ -166,4 +184,6 @@ def plan_experiment(fingerprint: Dict, num_classes: int,
             "foreground_intensity_properties_per_channel", {}),
         median_shape=median_shape,
         batch_dice=True,
+        block_type="residual" if resenc else "plain",
+        n_blocks_per_stage=tuple(RESENC_M_BLOCKS[:len(features)]) if resenc else (),
     )

@@ -115,6 +115,46 @@ def preprocess_case(image: np.ndarray, seg: np.ndarray, num_classes: int,
     return PreprocessedCase(data=data, seg=seg, properties=props)
 
 
+def preprocess_case_3d(image: np.ndarray, seg: np.ndarray, num_classes: int,
+                       spacing: Sequence[float] = (1.0, 1.0, 1.0),
+                       target_spacing: Optional[Sequence[float]] = None,
+                       seed: int = 1234) -> PreprocessedCase:
+    """3D case (reference ``default_preprocessor.py:run_case`` for volumes):
+    crop to nonzero → z-score over the volume → spacing-aware resample
+    (separate-z for anisotropic cases, ``segmentor/resample.py``) → fg
+    locations. image: (Z, H, W, C) float32; seg: (Z, H, W) int."""
+    from ldiffusion_tpu.segmentor.resample import compute_new_shape, resample_data_3d
+
+    orig_shape = image.shape[:3]
+    nz = np.any(image != 0, axis=-1)
+    idx = np.argwhere(nz)
+    if idx.size == 0:
+        sl = tuple(slice(0, s) for s in orig_shape)
+    else:
+        mins, maxs = idx.min(axis=0), idx.max(axis=0) + 1
+        sl = tuple(slice(int(a), int(b)) for a, b in zip(mins, maxs))
+    image = image[sl]
+    seg = seg[sl].astype(np.int16)
+
+    mean = image.mean(axis=(0, 1, 2), keepdims=True)
+    std = image.std(axis=(0, 1, 2), keepdims=True)
+    data = ((image - mean) / np.maximum(std, 1e-8)).astype(np.float32)
+
+    if target_spacing is not None and tuple(target_spacing) != tuple(spacing):
+        new_shape = compute_new_shape(data.shape[:3], spacing, target_spacing)
+        data = resample_data_3d(data, new_shape, spacing, order=3)
+        seg = resample_data_3d(seg, new_shape, spacing, is_seg=True).astype(np.int16)
+
+    props = {
+        "original_shape": list(orig_shape),
+        "spacing": list(spacing),
+        "target_spacing": list(target_spacing or spacing),
+        "bbox": [[s.start, s.stop] for s in sl],
+        "class_locations": sample_fg_locations(seg, num_classes, seed),
+    }
+    return PreprocessedCase(data=data, seg=seg, properties=props)
+
+
 class PreprocessedDataset:
     """Case-keyed preprocessed store — the analog of ``nnUNetDataset``
     (reference ``training/dataloading/nnunet_dataset.py:11-111``). Supports

@@ -54,3 +54,68 @@ def resample_seg(seg: np.ndarray, new_shape: Sequence[int]) -> np.ndarray:
 def resample_logits(logits: np.ndarray, new_shape: Sequence[int]) -> np.ndarray:
     """logits: (H, W, C) → linear per channel (probability/logit maps)."""
     return resample_data(logits, new_shape, order=1)
+
+
+# ---------------------------------------------------------------------------
+# 3D / anisotropic (separate-z) resampling
+# ---------------------------------------------------------------------------
+
+ANISOTROPY_THRESHOLD = 3.0  # reference configuration.py ANISO_THRESHOLD
+
+
+def _is_anisotropic(spacing: Sequence[float]) -> bool:
+    sp = np.asarray(spacing, np.float64)
+    return bool(np.max(sp) / np.min(sp) > ANISOTROPY_THRESHOLD)
+
+
+def resample_data_3d(data: np.ndarray, new_shape: Sequence[int],
+                     spacing: Sequence[float] = (1.0, 1.0, 1.0),
+                     order: int = 3, order_z: int = 0,
+                     is_seg: bool = False) -> np.ndarray:
+    """Volume resampling with separate-z handling for anisotropic spacing
+    (reference ``preprocessing/resampling/default_resampling.py:13-216``
+    ``resample_data_or_seg`` with ``do_separate_z``): when the spacing ratio
+    exceeds the anisotropy threshold, resample in-plane slice-by-slice with
+    ``order`` (spline/one-hot) and then along the low-resolution z axis with
+    ``order_z`` (nearest by default — avoids smearing across slices).
+
+    data: (Z, H, W) for seg / single channel, or (Z, H, W, C).
+    """
+    data = np.asarray(data)
+    has_c = data.ndim == 4
+    if tuple(data.shape[:3]) == tuple(new_shape):
+        return data
+    resamp = resample_seg if is_seg else (
+        lambda a, shp: resample_data(a, shp, order=order))
+    if not _is_anisotropic(spacing):
+        # isotropic: one 3D zoom (per channel / one-hot for seg)
+        if is_seg:
+            classes = np.unique(data)
+            zoom = [n / o for n, o in zip(new_shape, data.shape[:3])]
+            stack = np.stack([ndimage.zoom((data == c).astype(np.float32), zoom,
+                                           order=1) for c in classes])
+            return classes[np.argmax(stack, axis=0)].astype(data.dtype)
+        zoom = [n / o for n, o in zip(new_shape, data.shape[:3])]
+        if has_c:
+            return np.stack([ndimage.zoom(data[..., c], zoom, order=order)
+                             for c in range(data.shape[-1])],
+                            axis=-1).astype(data.dtype)
+        return ndimage.zoom(data, zoom, order=order).astype(data.dtype)
+
+    # separate-z: the lowest-resolution axis is z (largest spacing)
+    z_ax = int(np.argmax(spacing))
+    assert z_ax == 0, "volumes are stored (Z, H, W[, C]) with z first"
+    nz, nh, nw = new_shape
+    # in-plane pass (per z slice)
+    planes = [resamp(data[z], (nh, nw)) for z in range(data.shape[0])]
+    vol = np.stack(planes, axis=0)
+    if vol.shape[0] == nz:
+        return vol.astype(data.dtype)
+    # z pass with order_z (nearest default; seg always nearest-like)
+    zoom_z = nz / vol.shape[0]
+    if is_seg or order_z == 0:
+        idx = np.clip(np.round(np.arange(nz) / zoom_z).astype(np.int64),
+                      0, vol.shape[0] - 1)
+        return vol[idx].astype(data.dtype)
+    axes_zoom = (zoom_z,) + (1.0,) * (vol.ndim - 1)
+    return ndimage.zoom(vol, axes_zoom, order=order_z).astype(data.dtype)

@@ -1,0 +1,186 @@
+"""3D pathway: planner configs (fullres/lowres/cascade), DynUNet3D,
+separate-z resampling, 3D preprocessing, 3D patch loading, volume IO gating.
+
+Reference rows: ``default_experiment_planner.py:371-500`` (3d configs),
+``data_loader_3d.py``, ``default_resampling.py:13-216`` (separate-z),
+``imageio/{simpleitk,tif}_reader_writer.py``.
+"""
+import numpy as np
+import pytest
+
+from ldiffusion_tpu.segmentor.planner3d import (
+    SegPlan3D,
+    plan_all_configurations,
+    plan_experiment_3d,
+)
+
+
+def _fingerprint(shape=(64, 96, 96), spacing=(1.0, 1.0, 1.0), n=4, ch=1):
+    return {
+        "shapes_after_crop": [list(shape)] * n,
+        "spacings": [list(spacing)] * n,
+        "num_channels": ch,
+    }
+
+
+def test_plan_3d_isotropic_topology():
+    plan = plan_experiment_3d(_fingerprint(), num_classes=3)
+    assert len(plan.patch_size) == 3
+    assert plan.strides[0] == (1, 1, 1)
+    # isotropic: all axes pool together, kernels 3 everywhere
+    assert all(k == (3, 3, 3) for k in plan.kernel_sizes)
+    assert plan.features_per_stage[0] == 32
+    assert max(plan.features_per_stage) <= 320  # 3d feature cap
+
+
+def test_plan_3d_anisotropic_kernels_and_strides():
+    # thin z: spacing 5mm vs 1mm in-plane → z gets kernel 1 and no pooling
+    # until in-plane pooling equalizes spacing
+    plan = plan_experiment_3d(_fingerprint(shape=(24, 256, 256),
+                                           spacing=(5.0, 1.0, 1.0)),
+                              num_classes=2)
+    assert plan.kernel_sizes[0][0] == 1 and plan.kernel_sizes[0][1] == 3
+    assert plan.strides[1][0] == 1 and plan.strides[1][1] == 2
+    # later stages (spacing equalized) pool z too
+    assert any(s[0] == 2 for s in plan.strides)
+
+
+def test_plan_3d_lowres_cascade_emitted_for_large_volumes():
+    configs = plan_all_configurations(
+        _fingerprint(shape=(256, 512, 512)), num_classes=2,
+        hbm_budget=1 * 1024 ** 3)
+    assert "3d_fullres" in configs
+    assert "3d_lowres" in configs and "3d_cascade_fullres" in configs
+    low, cas = configs["3d_lowres"], configs["3d_cascade_fullres"]
+    assert low.next_stage == "3d_cascade_fullres"
+    assert cas.previous_stage == "3d_lowres"
+    # lowres covers a larger fraction of its median shape
+    assert np.prod(low.median_shape) < np.prod(configs["3d_fullres"].median_shape)
+    # cascade network takes prev-stage one-hot as extra input channels
+    # (reference label_handling.py:283-322)
+    assert cas.network_config().in_channels == cas.in_channels + cas.num_classes
+
+
+def test_plan_3d_json_roundtrip(tmp_path):
+    plan = plan_experiment_3d(_fingerprint(), num_classes=3, planner="resenc")
+    p = str(tmp_path / "plans3d.json")
+    plan.save(p)
+    assert SegPlan3D.load(p) == plan
+    assert plan.block_type == "residual"
+
+
+def test_dynunet3d_forward_and_grad():
+    import jax
+    import jax.numpy as jnp
+
+    from ldiffusion_tpu.models.dynunet3d import DynUNet3D, DynUNet3DConfig
+
+    cfg = DynUNet3DConfig.tiny(num_classes=3)
+    net = DynUNet3D(cfg)
+    x = jnp.zeros((2, 8, 16, 16, 1))
+    params = net.init(jax.random.key(0), x)["params"]
+    outs = net.apply({"params": params}, x, train=True)
+    # stage strides (1,1,1),(2,2,2),(1,2,2) → DS heads at full and 1/2 res
+    assert [tuple(o.shape) for o in outs] == [(2, 8, 16, 16, 3), (2, 4, 8, 8, 3)]
+
+    def loss(p):
+        return sum(jnp.sum(o ** 2) for o in net.apply({"params": p}, x, train=True))
+
+    g = jax.grad(loss)(params)
+    assert all(np.all(np.isfinite(l)) for l in jax.tree_util.tree_leaves(g))
+
+
+def test_dynunet3d_residual_variant():
+    import jax
+    import jax.numpy as jnp
+
+    from ldiffusion_tpu.models.dynunet3d import DynUNet3D, DynUNet3DConfig
+
+    cfg = DynUNet3DConfig(in_channels=1, num_classes=2,
+                          features_per_stage=(8, 16),
+                          strides=((1, 1, 1), (1, 2, 2)),
+                          kernel_sizes=((1, 3, 3), (3, 3, 3)),
+                          block_type="residual", n_blocks_per_stage=(1, 2),
+                          deep_supervision=False)
+    net = DynUNet3D(cfg)
+    x = jnp.zeros((1, 4, 8, 8, 1))
+    params = net.init(jax.random.key(0), x)["params"]
+    assert "downsample_conv" in params["enc_1_0"]
+    out = net.apply({"params": params}, x, train=False)
+    assert out.shape == (1, 4, 8, 8, 2)
+
+
+def test_separate_z_resample_seg_preserves_labels():
+    from ldiffusion_tpu.segmentor.resample import resample_data_3d
+
+    seg = np.zeros((4, 16, 16), np.int16)
+    seg[:, 4:12, 4:12] = 2
+    out = resample_data_3d(seg, (8, 32, 32), spacing=(5.0, 1.0, 1.0), is_seg=True)
+    assert out.shape == (8, 32, 32)
+    assert set(np.unique(out)) <= {0, 2}          # no interpolated labels
+    assert out[4, 16, 16] == 2
+    # z was replicated nearest (no new z structure invented)
+    np.testing.assert_array_equal(out[0], out[1])
+
+
+def test_separate_z_resample_data_slicewise():
+    from ldiffusion_tpu.segmentor.resample import resample_data_3d
+
+    rng = np.random.default_rng(0)
+    vol = rng.normal(size=(3, 8, 8)).astype(np.float32)
+    out = resample_data_3d(vol, (3, 16, 16), spacing=(4.0, 1.0, 1.0), order=1)
+    assert out.shape == (3, 16, 16)
+    # separate-z: each output slice depends ONLY on its own input slice
+    # (a 3D interpolator would mix neighbors)
+    vol2 = vol.copy()
+    vol2[1] += 10.0
+    out2 = resample_data_3d(vol2, (3, 16, 16), spacing=(4.0, 1.0, 1.0), order=1)
+    np.testing.assert_array_equal(out[0], out2[0])
+    np.testing.assert_array_equal(out[2], out2[2])
+    assert np.abs(out2[1] - out[1]).max() > 5.0
+
+
+def test_preprocess_case_3d_and_patch_sampler():
+    from ldiffusion_tpu.data.patches import PatchSampler
+    from ldiffusion_tpu.segmentor.preprocess import (
+        PreprocessedDataset,
+        preprocess_case_3d,
+    )
+
+    rng = np.random.default_rng(0)
+    img = np.zeros((12, 24, 24, 1), np.float32)
+    img[2:10, 4:20, 4:20] = rng.random((8, 16, 16, 1)) + 0.5
+    seg = np.zeros((12, 24, 24), np.int64)
+    seg[4:8, 8:16, 8:16] = 1
+    case = preprocess_case_3d(img, seg, num_classes=2, spacing=(2.0, 1.0, 1.0))
+    assert case.data.ndim == 4 and case.seg.ndim == 3
+    assert case.data.shape[:3] == case.seg.shape
+    assert 1 in case.properties["class_locations"]
+    assert case.properties["class_locations"][1].shape[1] == 3  # (z, y, x)
+
+    ds = PreprocessedDataset(cases={"c0": case})
+    sampler = PatchSampler(ds, patch_size=(8, 16, 16), batch_size=4,
+                           oversample_fg=0.5, seed=0)
+    data, seg_b = next(iter(sampler))
+    assert data.shape == (4, 8, 16, 16, 1)
+    assert seg_b.shape == (4, 8, 16, 16)
+    # oversampled half of the batch contains foreground
+    assert (seg_b[-1] == 1).any() and (seg_b[-2] == 1).any()
+
+
+def test_volume_io_gated():
+    """SimpleITK/tifffile are absent in this environment: the registry must
+    fail with a clear gating error, not crash."""
+    from ldiffusion_tpu.data.io import (
+        determine_reader_writer,
+        determine_reader_writer_from_dataset_json,
+    )
+
+    rw = determine_reader_writer(".png")
+    assert type(rw).__name__ == "NaturalImage2DIO"
+    with pytest.raises((ValueError, ImportError)) as e:
+        determine_reader_writer_from_dataset_json(
+            {"file_ending": ".tif", "overwrite_image_reader_writer": "Tiff3DIO"})
+    assert "tifffile" in str(e.value) or "Tiff3DIO" in str(e.value)
+    with pytest.raises((ValueError, ImportError)):
+        determine_reader_writer(".mha")

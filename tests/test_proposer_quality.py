@@ -1,0 +1,81 @@
+"""Trained flow-net proposer vs classical watershed, scored with PQ/AJI.
+
+VERDICT r1 item 6: prove the trainable proposer (the cellpose replacement,
+reference ``model/conductor.py:156-233``) actually beats the classical
+fallback on an instance-level metric. Synthetic elongated cells are the
+canonical distance-watershed failure mode: the distance transform of an
+ellipse has a ridge of maxima, so marker detection oversegments; flows to
+the median center (cellpose's target, ``masks_to_flows``) converge to one
+sink per cell.
+"""
+import numpy as np
+import pytest
+
+from ldiffusion_tpu.cell.instance import (
+    DistanceWatershedProposer,
+    FlowNetProposer,
+    FlowNetTrainer,
+    masks_to_flows,
+)
+from ldiffusion_tpu.evaluate import evaluate_instances
+
+
+def make_case(rng, size=64, n_cells=4):
+    """Elongated bright ellipses on dark background; returns (img, inst)."""
+    img = np.full((size, size), 0.1, np.float32)
+    inst = np.zeros((size, size), np.int32)
+    yy, xx = np.mgrid[:size, :size].astype(np.float32)
+    k = 0
+    for _ in range(n_cells):
+        cy, cx = rng.uniform(10, size - 10, 2)
+        a = rng.uniform(10, 14)
+        b = rng.uniform(3.5, 5)
+        th = rng.uniform(0, np.pi)
+        dy, dx = yy - cy, xx - cx
+        u = dy * np.cos(th) + dx * np.sin(th)
+        v = -dy * np.sin(th) + dx * np.cos(th)
+        m = (u / a) ** 2 + (v / b) ** 2 <= 1
+        if m.sum() < 20:
+            continue
+        k += 1
+        inst[m] = k
+        img[m] = 0.8
+    img = img + rng.normal(0, 0.03, img.shape).astype(np.float32)
+    return np.clip(np.stack([img] * 3, -1), 0, 1), inst
+
+
+def test_masks_to_flows_points_to_center():
+    m = np.zeros((16, 16), np.int32)
+    m[4:12, 4:12] = 1
+    f = masks_to_flows(m)
+    # corner pixel flow points inward (positive dy, dx toward center)
+    assert f[4, 4, 0] > 0 and f[4, 4, 1] > 0
+    assert f[11, 11, 0] < 0 and f[11, 11, 1] < 0
+    np.testing.assert_allclose(f[..., 2], (m > 0).astype(np.float32))
+    # unit norm on non-center pixels
+    n = np.sqrt(f[4, 4, 0] ** 2 + f[4, 4, 1] ** 2)
+    assert n == pytest.approx(1.0, abs=1e-3)
+
+
+@pytest.mark.slow
+def test_trained_flownet_beats_watershed_on_elongated_cells():
+    rng = np.random.default_rng(0)
+    train = [make_case(rng) for _ in range(16)]
+    test = [make_case(rng) for _ in range(6)]
+    gts = [m for _, m in test]
+
+    ws = DistanceWatershedProposer()
+    ws_m = evaluate_instances([ws.propose(im) for im, _ in test], gts)
+
+    prop = FlowNetProposer.create(features=(16, 32, 64), n_iter=150)
+    trainer = FlowNetTrainer(prop, lr=1e-3)
+    losses = trainer.train([im for im, _ in train], [m for _, m in train],
+                           epochs=40, batch_size=4)
+    assert losses[-1] < losses[0] * 0.5  # the flow objective optimizes
+    fn_m = evaluate_instances([prop.propose(im) for im, _ in test], gts)
+
+    # watershed oversegments the ridges (PQ ~0.35 on this generator); the
+    # trained flow net reaches ~0.80
+    assert fn_m["pq"] > ws_m["pq"] + 0.15
+    assert fn_m["pq"] > 0.6
+    assert fn_m["mean_aji"] > ws_m["mean_aji"]

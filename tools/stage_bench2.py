@@ -26,7 +26,7 @@ params = comps.params
 img = jnp.asarray(np.random.default_rng(0).normal(size=(B, 512, 512, 3)).astype(np.float32))
 
 
-def timed(name, f, *args, iters=8):
+def timed(name, f, *args, iters=16):
     # one on-device scan dispatch; the carry feeds back into the input so
     # XLA cannot hoist the body out of the loop
     def repeat(p, x):
@@ -37,12 +37,14 @@ def timed(name, f, *args, iters=8):
         return c
 
     jf = jax.jit(repeat)
-    out = jf(*args)
-    out.block_until_ready()
-    t0 = time.perf_counter()
-    out = jf(*args)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    # value-read sync: block_until_ready is a no-op over the tunnel
+    _ = float(jf(*args))
+    best = float("inf")
+    for _i in range(3):
+        t0 = time.perf_counter()
+        _ = float(jf(*args))
+        best = min(best, time.perf_counter() - t0)
+    dt = best / iters
     print(f"{name}: {dt*1000:.1f} ms/iter (batch {B}) = {dt/B*1000:.2f} ms/img",
           flush=True)
     return dt
@@ -56,3 +58,11 @@ timed("vae decode 512", dec, params, lat)
 ctx = jnp.zeros((B, 5, 768))
 ufn = lambda p, l: comps.unet.apply({"params": p["unet"]}, l, jnp.int32(801), ctx)
 timed("unet fwd 64lat", ufn, params, lat)
+
+# A/B: params pre-cast to bf16 (kills per-step f32->bf16 cast traffic if XLA
+# is not hoisting the casts out of the UNet scan)
+params_bf16 = jax.tree_util.tree_map(
+    lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, params)
+timed("unet fwd 64lat bf16 params", ufn, params_bf16, lat)
+timed("vae decode bf16 params", dec, params_bf16, lat)
+timed("vae encode bf16 params", enc, params_bf16, img)
