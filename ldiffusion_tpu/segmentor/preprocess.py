@@ -155,6 +155,21 @@ def preprocess_case_3d(image: np.ndarray, seg: np.ndarray, num_classes: int,
     return PreprocessedCase(data=data, seg=seg, properties=props)
 
 
+def append_prev_stage_channels(case: PreprocessedCase, prev_seg: np.ndarray,
+                               num_classes: int) -> PreprocessedCase:
+    """Cascade stage-2 input: the previous stage's (resampled) segmentation
+    appended as one-hot channels (reference ``label_handling.py:283-322``
+    ``get_input_channels`` + the cascade transforms built in
+    ``nnUNetTrainer.py:673-795``)."""
+    assert prev_seg.shape == case.seg.shape, (prev_seg.shape, case.seg.shape)
+    onehot = np.eye(num_classes, dtype=np.float32)[np.maximum(prev_seg, 0)]
+    return PreprocessedCase(
+        data=np.concatenate([case.data, onehot], axis=-1),
+        seg=case.seg,
+        properties=dict(case.properties),
+    )
+
+
 class PreprocessedDataset:
     """Case-keyed preprocessed store — the analog of ``nnUNetDataset``
     (reference ``training/dataloading/nnunet_dataset.py:11-111``). Supports

@@ -31,7 +31,7 @@ from ldiffusion_tpu.core.checkpoint import load_pytree, save_pytree
 from ldiffusion_tpu.core.config import SegmentorTrainConfig
 from ldiffusion_tpu.core.dist import DATA_AXIS, FSDP_AXIS, MeshContext
 from ldiffusion_tpu.core.logging import EpochLogger, TextLogger, dump_debug_json, is_main_process
-from ldiffusion_tpu.data.augment import AugmentConfig, augment_batch
+from ldiffusion_tpu.data.augment import AugmentConfig, augment_batch, augment_batch_3d
 from ldiffusion_tpu.data.patches import PatchSampler
 from ldiffusion_tpu.losses.dice import (
     deep_supervision_loss,
@@ -76,10 +76,19 @@ class SegmentorTrainer:
 
         dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
         net_cfg = plan.network_config()
-        self.net = DynUNet(net_cfg, dtype=dtype)
-        ph, pw = plan.patch_size
-        params = self.net.init(jax.random.key(config.seed),
-                               jnp.zeros((1, ph, pw, plan.in_channels)))["params"]
+        # 3D plans (SegPlan3D — 3d_fullres/3d_lowres/3d_cascade_fullres) build
+        # the volumetric net; cascade configs widen in_channels with the
+        # prev-stage one-hot (net_cfg.in_channels already accounts for it)
+        self.is_3d = len(plan.patch_size) == 3
+        if self.is_3d:
+            from ldiffusion_tpu.models.dynunet3d import DynUNet3D
+
+            self.net = DynUNet3D(net_cfg, dtype=dtype)
+        else:
+            self.net = DynUNet(net_cfg, dtype=dtype)
+        params = self.net.init(
+            jax.random.key(config.seed),
+            jnp.zeros((1, *plan.patch_size, net_cfg.in_channels)))["params"]
         # lr is injected per-epoch (PolyLR); inject via optax schedule on step
         # count would misalign with the reference's per-epoch stepping, so the
         # optimizer reads lr from a mutable scale.
@@ -144,17 +153,19 @@ class SegmentorTrainer:
 
     def _make_train_step(self):
         batch_sh = self.mesh.sharding((DATA_AXIS, FSDP_AXIS))
-        n_ds = sum(1 for s in self.plan.strides if s > 1) + 1 \
+        pools = lambda s: (max(s) > 1) if isinstance(s, (tuple, list)) else (s > 1)
+        n_ds = sum(1 for s in self.plan.strides if pools(s)) + 1 \
             if self.plan.deep_supervision else 1
+        aug = augment_batch_3d if self.is_3d else augment_batch
 
         @partial(jax.jit, donate_argnums=(0,),
                  static_argnames=())
         def step(state: SegTrainState, data, seg, key, lr):
-            data, seg = augment_batch(key, data, seg, self.augment_cfg)
+            data, seg = aug(key, data, seg, self.augment_cfg)
             seg_list = [seg]
             cur = seg
             for s in self.plan.strides[1:]:
-                if s > 1:
+                if pools(s):
                     cur = _downsample_seg(cur, s, self.plan.num_classes)
                     seg_list.append(cur)
             seg_list = seg_list[:n_ds]
@@ -179,9 +190,10 @@ class SegmentorTrainer:
             c = self.plan.num_classes
             ph = jax.nn.one_hot(pred, c) * mask[..., None]
             th = jax.nn.one_hot(tgt, c) * mask[..., None]
-            tp = jnp.sum(ph * th, axis=(0, 1, 2))
-            fp = jnp.sum(ph * (1 - th), axis=(0, 1, 2))
-            fn = jnp.sum((1 - ph) * th, axis=(0, 1, 2))
+            axes = tuple(range(ph.ndim - 1))  # batch + spatial (2D or 3D)
+            tp = jnp.sum(ph * th, axis=axes)
+            fp = jnp.sum(ph * (1 - th), axis=axes)
+            fn = jnp.sum((1 - ph) * th, axis=axes)
             return loss, tp, fp, fn
 
         return step
@@ -374,17 +386,21 @@ class SegmentorTrainer:
         self.epoch_log.load_state_dict(ck["logger"])
 
 
-def _downsample_seg(seg, s: int, num_classes: int):
-    """Majority-vote (mode) pool of int labels over s x s windows.
+def _downsample_seg(seg, s, num_classes: int):
+    """Majority-vote (mode) pool of int labels over per-axis windows.
 
     Replaces stride-slice decimation, which aliases away thin structures; the
     reference downsamples the seg with interpolation for deep supervision
     (nnUNet DS downsampling transform, ``nnUNetTrainer.py:673-795``). The -1
     outside-crop/ignore value votes as its own channel and wins only when it
-    dominates the window. seg: (B, H, W) int."""
+    dominates the window. seg: (B, *spatial) int; s: int (isotropic 2D) or
+    per-axis tuple (3D)."""
+    if isinstance(s, int):
+        s = (s,) * (seg.ndim - 1)
+    window = (1,) + tuple(s) + (1,)
     onehot = jax.nn.one_hot(seg + 1, num_classes + 1, dtype=jnp.float32)
     pooled = jax.lax.reduce_window(onehot, 0.0, jax.lax.add,
-                                   (1, s, s, 1), (1, s, s, 1), "VALID")
+                                   window, window, "VALID")
     return (jnp.argmax(pooled, axis=-1) - 1).astype(seg.dtype)
 
 

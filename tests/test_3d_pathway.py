@@ -184,3 +184,63 @@ def test_volume_io_gated():
     assert "tifffile" in str(e.value) or "Tiff3DIO" in str(e.value)
     with pytest.raises((ValueError, ImportError)):
         determine_reader_writer(".mha")
+
+
+@pytest.mark.slow
+def test_3d_trainer_runs_and_cascade_trains(tmp_path):
+    """SegmentorTrainer consumes a SegPlan3D: DynUNet3D + 3D DA + per-axis
+    DS pooling + 3D val dice; the cascade config trains with prev-stage
+    one-hot channels appended (reference nnUNetTrainerCascadeFullRes
+    semantics)."""
+    import dataclasses
+
+    import jax
+
+    from ldiffusion_tpu.core.config import MeshConfig, SegmentorTrainConfig
+    from ldiffusion_tpu.core.dist import make_mesh
+    from ldiffusion_tpu.segmentor.planner3d import SegPlan3D
+    from ldiffusion_tpu.segmentor.preprocess import (
+        PreprocessedCase,
+        PreprocessedDataset,
+        append_prev_stage_channels,
+        preprocess_case_3d,
+    )
+    from ldiffusion_tpu.segmentor.trainer import SegmentorTrainer
+
+    rng = np.random.default_rng(0)
+    cases = {}
+    for i in range(3):
+        img = rng.random((8, 16, 16, 1)).astype(np.float32) + 0.1
+        seg = np.zeros((8, 16, 16), np.int64)
+        seg[2:6, 4:12, 4:12] = 1
+        cases[f"c{i}"] = preprocess_case_3d(img, seg, num_classes=2)
+    ds = PreprocessedDataset(cases=cases)
+
+    plan = SegPlan3D(
+        patch_size=(8, 16, 16), batch_size=2, spacing=(1.0, 1.0, 1.0),
+        features_per_stage=(8, 16), strides=((1, 1, 1), (1, 2, 2)),
+        kernel_sizes=((1, 3, 3), (3, 3, 3)), n_conv_per_stage=1,
+        num_classes=2, in_channels=1, normalization="zscore",
+        median_shape=(8, 16, 16), batch_dice=False)
+    mesh = make_mesh(MeshConfig(data=2, fsdp=1, tensor=1),
+                     devices=jax.devices()[:2])
+    cfg = SegmentorTrainConfig(num_epochs=1, iters_per_epoch=2,
+                               val_iters_per_epoch=1, compute_dtype="float32",
+                               save_every=50)
+    trainer = SegmentorTrainer(plan, cfg, mesh, output_dir=str(tmp_path / "3d"))
+    trainer.run_training(ds, ds)
+    assert np.isfinite(trainer.epoch_log.get("train_loss"))
+    import os
+    assert os.path.exists(str(tmp_path / "3d" / "checkpoint_final.pkl"))
+
+    # cascade: prev-stage one-hot appended; network takes in_ch + num_classes
+    cascade_plan = dataclasses.replace(plan, previous_stage="3d_lowres")
+    prev = {k: (c.seg == 1).astype(np.int64) for k, c in cases.items()}
+    cas_cases = {k: append_prev_stage_channels(c, prev[k], 2)
+                 for k, c in cases.items()}
+    assert cas_cases["c0"].data.shape[-1] == 3  # 1 image + 2 one-hot
+    cas_ds = PreprocessedDataset(cases=cas_cases)
+    trainer2 = SegmentorTrainer(cascade_plan, cfg, mesh,
+                                output_dir=str(tmp_path / "cas"))
+    trainer2.run_training(cas_ds, cas_ds)
+    assert np.isfinite(trainer2.epoch_log.get("train_loss"))

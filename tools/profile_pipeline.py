@@ -28,12 +28,12 @@ comps, fn, rep = build(B)
 img = jnp.asarray(np.random.default_rng(0).normal(size=(B, 512, 512, 3)).astype(np.float32))
 key = jax.random.key(0)
 # warm up / compile outside the trace
-_ = float(rep(comps.params, img, key, 2))
+_ = float(rep(comps.params, img, key, 8))  # same scan length as bench.py → cached compile
 
 trace_dir = "/tmp/jaxtrace"
 os.system(f"rm -rf {trace_dir}")
 with jax.profiler.trace(trace_dir):
-    _ = float(rep(comps.params, img, key, 4))
+    _ = float(rep(comps.params, img, key, 8))
 
 xplanes = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
 print("xplane files:", xplanes, flush=True)
