@@ -38,24 +38,29 @@ def _xla_attention(q, k, v, scale):
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k):
-    """One (batch*head, q-block) grid step; streams kv in ``block_k`` chunks."""
-    q = q_ref[0].astype(jnp.float32)  # (BQ, D)
+    """One (batch*head, q-block) grid step; streams kv in ``block_k`` chunks.
+
+    Matmul operands stay bf16 (native MXU rate; f32 dots decompose into
+    multiple bf16 passes) with f32 accumulation via preferred_element_type —
+    softmax statistics and the output accumulator are f32."""
+    q = q_ref[0]                      # (BQ, D) bf16
     bq, d = q.shape
     n_kv = k_ref.shape[1] // block_k
 
     def body(j, carry):
         acc, m, l = carry
-        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(j * block_k, block_k), :]
+        v = v_ref[0, pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (BQ, BK)
+        ) * scale  # (BQ, BK) f32
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         corr = jnp.exp(m - m_new)
         l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * corr + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return acc_new, m_new, l_new
 

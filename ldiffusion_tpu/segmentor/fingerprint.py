@@ -107,3 +107,59 @@ def verify_dataset_integrity(images: Sequence[np.ndarray], labels: Sequence[np.n
         if not np.isfinite(img).all():
             problems.append(f"case {i}: non-finite image values")
     return problems
+
+
+def extract_fingerprint_3d(volumes: Sequence[np.ndarray], labels: Sequence[np.ndarray],
+                           spacings: Optional[Sequence[Sequence[float]]] = None,
+                           seed: int = 1234, save_path: Optional[str] = None) -> Dict:
+    """3D fingerprint (reference ``fingerprint_extractor.py:18-199`` for
+    volumes): per case crop-to-nonzero shape, spacing, and fg-intensity
+    samples; consumed by ``segmentor/planner3d.py:plan_all_configurations``.
+
+    volumes: list of (Z, H, W, C) float arrays; labels: list of (Z, H, W)."""
+    rng = np.random.default_rng(seed)
+    shapes, shapes_after_crop = [], []
+    per_channel: Dict[int, List[np.ndarray]] = {}
+    budget = MAX_TOTAL_FG_SAMPLES
+    for vol, lab in zip(volumes, labels):
+        shapes.append(tuple(vol.shape[:3]))
+        nz = np.argwhere(np.any(vol != 0, axis=-1))
+        if nz.size == 0:
+            shapes_after_crop.append(tuple(vol.shape[:3]))
+        else:
+            mins, maxs = nz.min(axis=0), nz.max(axis=0) + 1
+            shapes_after_crop.append(tuple(int(b - a) for a, b in zip(mins, maxs)))
+        fg = lab > 0
+        n_fg = int(fg.sum())
+        if n_fg > 0 and budget > 0:
+            take = min(FG_SAMPLES_PER_CASE, n_fg, budget)
+            idx = rng.choice(n_fg, size=take, replace=False)
+            budget -= take
+            coords = np.argwhere(fg)[idx]
+            for c in range(vol.shape[-1]):
+                per_channel.setdefault(c, []).append(
+                    vol[coords[:, 0], coords[:, 1], coords[:, 2], c])
+
+    intensity = {}
+    for c, chunks in per_channel.items():
+        v = np.concatenate(chunks)
+        intensity[str(c)] = {
+            "mean": float(np.mean(v)), "std": float(np.std(v)),
+            "min": float(np.min(v)), "max": float(np.max(v)),
+            "percentile_00_5": float(np.percentile(v, 0.5)),
+            "percentile_99_5": float(np.percentile(v, 99.5)),
+            "median": float(np.median(v)),
+        }
+    fp = {
+        "spacings": [list(s) for s in (spacings or [(1.0, 1.0, 1.0)] * len(shapes))],
+        "shapes_after_crop": [list(s) for s in shapes_after_crop],
+        "original_shapes": [list(s) for s in shapes],
+        "foreground_intensity_properties_per_channel": intensity,
+        "num_cases": len(shapes),
+        "num_channels": volumes[0].shape[-1] if volumes else 1,
+    }
+    if save_path:
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        with open(save_path, "w") as f:
+            json.dump(fp, f, indent=2)
+    return fp

@@ -27,6 +27,14 @@ from ldiffusion_tpu.segmentor.planner import SegPlan
 from ldiffusion_tpu.segmentor.preprocess import zscore_normalize
 
 
+def _spatial_normalize(image: np.ndarray, nd: int) -> np.ndarray:
+    """Per-channel z-score over all spatial axes (2D or 3D)."""
+    axes = tuple(range(nd))
+    mean = image.mean(axis=axes, keepdims=True)
+    std = image.std(axis=axes, keepdims=True)
+    return ((image - mean) / np.maximum(std, 1e-8)).astype(np.float32)
+
+
 def compute_steps(image_size: int, patch_size: int, step_frac: float = 0.5) -> List[int]:
     """Evenly-distributed tile starts (reference
     ``predict_from_raw_data.py:496-528`` / compute_steps_for_sliding_window)."""
@@ -58,10 +66,19 @@ def gaussian_importance_map(patch: Tuple[int, int], sigma_scale: float = 1.0 / 8
 
 
 class SlidingWindowPredictor:
-    def __init__(self, plan: SegPlan, params, use_gaussian: bool = True,
+    def __init__(self, plan, params, use_gaussian: bool = True,
                  use_mirroring: bool = True, dtype=jnp.bfloat16):
+        """plan: SegPlan (2D) or SegPlan3D — the same scan-tiled program
+        drives both (the 3D analog of the reference's
+        ``data_loader_3d``-fed predictor)."""
         self.plan = plan
-        self.net = DynUNet(plan.network_config(), dtype=dtype)
+        self.nd = len(plan.patch_size)
+        if self.nd == 3:
+            from ldiffusion_tpu.models.dynunet3d import DynUNet3D
+
+            self.net = DynUNet3D(plan.network_config(), dtype=dtype)
+        else:
+            self.net = DynUNet(plan.network_config(), dtype=dtype)
         self.params_list = params if isinstance(params, (list, tuple)) else [params]
         self.use_gaussian = use_gaussian
         self.use_mirroring = use_mirroring
@@ -78,46 +95,50 @@ class SlidingWindowPredictor:
 
     # -- jitted core --------------------------------------------------------
     def _tile_fn(self, params, tile):
-        """(1, ph, pw, C) -> (1, ph, pw, num_classes) with optional mirror TTA
-        (reference ``:530-545``: average over all flip combinations)."""
+        """(1, *patch, C) -> (1, *patch, num_classes) with optional mirror TTA
+        (reference ``:530-545``: average over ALL spatial flip combinations —
+        4 in 2D, 8 in 3D)."""
+        import itertools
+
         def fwd(x):
             return self.net.apply({"params": params}, x, train=False)
 
         logits = fwd(tile)
         if self.use_mirroring:
-            logits = logits + fwd(tile[:, ::-1])[:, ::-1]
-            logits = logits + fwd(tile[:, :, ::-1])[:, :, ::-1]
-            logits = logits + fwd(tile[:, ::-1, ::-1])[:, ::-1, ::-1]
-            logits = logits / 4.0
+            combos = [c for r in range(1, self.nd + 1)
+                      for c in itertools.combinations(range(1, self.nd + 1), r)]
+            for axes in combos:
+                logits = logits + jnp.flip(fwd(jnp.flip(tile, axes)), axes)
+            logits = logits / (len(combos) + 1.0)
         return logits
 
-    def _build_predict(self, padded_shape: Tuple[int, int], positions: np.ndarray):
-        ph, pw = self.plan.patch_size
+    def _build_predict(self, padded_shape: Tuple[int, ...], positions: np.ndarray):
+        patch = tuple(self.plan.patch_size)
         c = self.plan.num_classes
         gauss = jnp.asarray(
-            gaussian_importance_map((ph, pw)) if self.use_gaussian
-            else np.ones((ph, pw), np.float32)
+            gaussian_importance_map(patch) if self.use_gaussian
+            else np.ones(patch, np.float32)
         )
-        pos = jnp.asarray(positions, jnp.int32)  # (T, 2)
+        pos = jnp.asarray(positions, jnp.int32)  # (T, nd)
 
         @jax.jit
         def predict(params, image):
-            """image: (H, W, C) padded/normalized."""
+            """image: (*spatial, C) padded/normalized."""
             acc = jnp.zeros(padded_shape + (c,), jnp.float32)
             wacc = jnp.zeros(padded_shape + (1,), jnp.float32)
 
             def body(carry, p):
                 acc, wacc = carry
-                y, x = p[0], p[1]
-                tile = jax.lax.dynamic_slice(image, (y, x, 0),
-                                             (ph, pw, image.shape[-1]))
+                start = tuple(p[i] for i in range(len(patch))) + (0,)
+                tile = jax.lax.dynamic_slice(image, start,
+                                             patch + (image.shape[-1],))
                 logits = self._tile_fn(params, tile[None])[0].astype(jnp.float32)
                 logits = logits * gauss[..., None]
-                cur = jax.lax.dynamic_slice(acc, (y, x, 0), (ph, pw, c))
-                acc = jax.lax.dynamic_update_slice(acc, cur + logits, (y, x, 0))
-                curw = jax.lax.dynamic_slice(wacc, (y, x, 0), (ph, pw, 1))
+                cur = jax.lax.dynamic_slice(acc, start, patch + (c,))
+                acc = jax.lax.dynamic_update_slice(acc, cur + logits, start)
+                curw = jax.lax.dynamic_slice(wacc, start, patch + (1,))
                 wacc = jax.lax.dynamic_update_slice(
-                    wacc, curw + gauss[..., None], (y, x, 0))
+                    wacc, curw + gauss[..., None], start)
                 return (acc, wacc), None
 
             (acc, wacc), _ = jax.lax.scan(body, (acc, wacc), pos)
@@ -127,22 +148,24 @@ class SlidingWindowPredictor:
 
     # -- public -------------------------------------------------------------
     def predict_logits(self, image: np.ndarray, normalize: bool = True) -> np.ndarray:
-        """image: (H, W, C) float → (H, W, num_classes) blended logits."""
+        """image: (*spatial, C) float → (*spatial, num_classes) blended
+        logits (2D or 3D, by plan rank)."""
+        import itertools
+
+        nd = self.nd
         if normalize:
-            image = zscore_normalize(image)
-        h, w = image.shape[:2]
-        ph, pw = self.plan.patch_size
-        pad_h, pad_w = max(0, ph - h), max(0, pw - w)
-        if pad_h or pad_w:
-            image = np.pad(image, ((0, pad_h), (0, pad_w), (0, 0)))
-        hp, wp = image.shape[:2]
-        positions = np.array(
-            [(y, x) for y in compute_steps(hp, ph) for x in compute_steps(wp, pw)],
-            np.int32,
-        )
-        cache_key = (hp, wp, len(positions))
+            image = _spatial_normalize(image, nd)
+        shape = image.shape[:nd]
+        patch = tuple(self.plan.patch_size)
+        pads = [max(0, p - s) for p, s in zip(patch, shape)]
+        if any(pads):
+            image = np.pad(image, [(0, p) for p in pads] + [(0, 0)])
+        padded = image.shape[:nd]
+        steps = [compute_steps(padded[i], patch[i]) for i in range(nd)]
+        positions = np.array(list(itertools.product(*steps)), np.int32)
+        cache_key = (padded, len(positions))
         if cache_key not in self._predict_cache:
-            self._predict_cache[cache_key] = self._build_predict((hp, wp),
+            self._predict_cache[cache_key] = self._build_predict(tuple(padded),
                                                                  positions)
         predict = self._predict_cache[cache_key]
         out = None
@@ -150,8 +173,8 @@ class SlidingWindowPredictor:
             logits = np.asarray(predict(params, jnp.asarray(image)))
             out = logits if out is None else out + logits
         out = out / len(self.params_list)
-        return out[:h, :w]
+        return out[tuple(slice(0, s) for s in shape)]
 
     def predict(self, image: np.ndarray, normalize: bool = True) -> np.ndarray:
-        """→ (H, W) argmax class map."""
+        """→ (*spatial) argmax class map."""
         return np.argmax(self.predict_logits(image, normalize), axis=-1).astype(np.uint8)

@@ -244,3 +244,49 @@ def test_3d_trainer_runs_and_cascade_trains(tmp_path):
                                 output_dir=str(tmp_path / "cas"))
     trainer2.run_training(cas_ds, cas_ds)
     assert np.isfinite(trainer2.epoch_log.get("train_loss"))
+
+
+def test_3d_sliding_window_predictor(tmp_path):
+    """3D scan-tiled prediction with gaussian blending + 8-way mirror TTA
+    (the volumetric analog of predict_from_raw_data.py:496-634)."""
+    import jax
+
+    from ldiffusion_tpu.segmentor.planner3d import SegPlan3D
+    from ldiffusion_tpu.segmentor.predictor import SlidingWindowPredictor
+
+    plan = SegPlan3D(
+        patch_size=(4, 8, 8), batch_size=2, spacing=(1.0, 1.0, 1.0),
+        features_per_stage=(4, 8), strides=((1, 1, 1), (2, 2, 2)),
+        kernel_sizes=((3, 3, 3), (3, 3, 3)), n_conv_per_stage=1,
+        num_classes=2, in_channels=1, normalization="zscore",
+        median_shape=(6, 12, 12), batch_dice=False, deep_supervision=False)
+    from ldiffusion_tpu.models.dynunet3d import DynUNet3D
+    import jax.numpy as jnp
+
+    net = DynUNet3D(plan.network_config())
+    params = net.init(jax.random.key(0), jnp.zeros((1, 4, 8, 8, 1)))["params"]
+    pred = SlidingWindowPredictor(plan, params, dtype=jnp.float32)
+    vol = np.random.default_rng(0).random((6, 12, 12, 1)).astype(np.float32)
+    out = pred.predict_logits(vol)
+    assert out.shape == (6, 12, 12, 2)
+    assert np.all(np.isfinite(out))
+    mask = pred.predict(vol)
+    assert mask.shape == (6, 12, 12) and mask.max() < 2
+
+
+def test_extract_fingerprint_3d_feeds_planner():
+    from ldiffusion_tpu.segmentor.fingerprint import extract_fingerprint_3d
+    from ldiffusion_tpu.segmentor.planner3d import plan_experiment_3d
+
+    rng = np.random.default_rng(0)
+    vols = [np.pad(rng.random((8, 16, 16, 1)).astype(np.float32) + 0.1,
+                   ((2, 2), (4, 4), (4, 4), (0, 0))) for _ in range(3)]
+    labs = [np.zeros((12, 24, 24), np.int64) for _ in range(3)]
+    for l in labs:
+        l[4:8, 8:16, 8:16] = 1
+    fp = extract_fingerprint_3d(vols, labs, spacings=[(2.5, 1.0, 1.0)] * 3)
+    assert fp["shapes_after_crop"][0] == [8, 16, 16]  # crop removed padding
+    assert "0" in fp["foreground_intensity_properties_per_channel"]
+    plan = plan_experiment_3d(fp, num_classes=2)
+    assert plan.spacing == (2.5, 1.0, 1.0)
+    assert len(plan.patch_size) == 3

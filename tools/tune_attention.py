@@ -35,12 +35,13 @@ def timed(f, iters=16):
         return c
 
     jf = jax.jit(repeat)
-    out = jf(q, k, v)
-    out.block_until_ready()
-    t0 = time.perf_counter()
-    out = jf(q, k, v)
-    out.block_until_ready()
-    return (time.perf_counter() - t0) / iters * 1e3
+    _ = float(jf(q, k, v))
+    best = float("inf")
+    for _i in range(3):
+        t0 = time.perf_counter()
+        _ = float(jf(q, k, v))
+        best = min(best, time.perf_counter() - t0)
+    return best / iters * 1e3
 
 
 # correctness vs xla on a slice first
@@ -51,7 +52,9 @@ err = float(jnp.max(jnp.abs(got.astype(jnp.float32) -
                             ref.reshape(2, S, D).astype(jnp.float32))))
 print("flash vs xla max err:", err, flush=True)
 
-for bq, bk in [(256, 512), (512, 512), (512, 1024), (1024, 1024), (256, 1024)]:
+for bq, bk in [(256, 512), (512, 512), (512, 1024), (1024, 1024), (256, 1024),
+               (1024, 2048), (512, 2048), (2048, 1024), (1024, 4096), (512, 4096),
+               (2048, 2048), (4096, 1024)]:
     try:
         ms = timed(lambda q, k, v: _flash_attention_bhsd(q, k, v, scale,
                                                          block_q=bq, block_k=bk))
