@@ -102,6 +102,39 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_trainable(q, k, v, scale, block_q, block_k):
+    """Pallas forward + XLA-derived backward (mathematically identical).
+
+    The reference training config never reaches this path (it trains at 64²
+    images → 64 latent tokens → XLA attention), but a larger fine-tune must
+    not crash under jax.grad. The XLA backward materializes the score matrix
+    — memory-heavy at 4096 tokens; a flash backward kernel is future work."""
+    return _flash_attention_bhsd(q, k, v, scale, block_q=block_q, block_k=block_k)
+
+
+def _flash_fwd(q, k, v, scale, block_q, block_k):
+    return _flash_attention_bhsd(q, k, v, scale, block_q=block_q,
+                                 block_k=block_k), (q, k, v)
+
+
+def _flash_bwd(scale, block_q, block_k, res, g):
+    q, k, v = res
+
+    def ref(q, k, v):
+        # (BH, S, D) single-head XLA attention, same math as the kernel
+        s = jnp.einsum("bqd,bkd->bqk", q, k,
+                       preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bqk,bkd->bqd", p.astype(v.dtype), v)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    return vjp(g)
+
+
+_flash_trainable.defvjp(_flash_fwd, _flash_bwd)
+
+
 def dot_product_attention(q, k, v, scale=None):
     """Multi-head attention, (B, S, H, D) layout.
 
@@ -128,19 +161,23 @@ def dot_product_attention(q, k, v, scale=None):
         return _xla_attention(q, k, v, scale)
 
     interpret = mode == "pallas_interpret"
-    dp = _round_up(d, 128)
-    # (B,S,H,D) -> (B*H, S, Dp); zero-pad head dim (scores & output unaffected)
+    # (B,S,H,D) -> (B*H, S, D). No HBM zero-pad of the head dim: Pallas
+    # blocks may equal the array dims, and Mosaic lane-pads inside VMEM for
+    # free — measured timings are flat across head dims 40..128 (the kernel
+    # is softmax/VPU-bound, BASELINE.md round 2), so the padded HBM copies
+    # were pure waste.
     def to_bhsd(x, s):
-        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, s, d)
-        if dp != d:
-            x = jnp.pad(x, ((0, 0), (0, 0), (0, dp - d)))
-        return x
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, s, d)
 
     block_q = 512 if sq % 512 == 0 else 256
     block_k = 1024 if sk % 1024 == 0 else 512
-    out = _flash_attention_bhsd(
-        to_bhsd(q, sq), to_bhsd(k, sk), to_bhsd(v, sk), float(scale),
-        block_q=block_q, block_k=block_k, interpret=interpret
-    )
-    out = out[:, :, :d].reshape(b, h, sq, d)
+    if interpret:
+        out = _flash_attention_bhsd(
+            to_bhsd(q, sq), to_bhsd(k, sk), to_bhsd(v, sk), float(scale),
+            block_q=block_q, block_k=block_k, interpret=True
+        )
+    else:
+        out = _flash_trainable(to_bhsd(q, sq), to_bhsd(k, sk), to_bhsd(v, sk),
+                               float(scale), block_q, block_k)
+    out = out.reshape(b, h, sq, d)
     return jnp.transpose(out, (0, 2, 1, 3))

@@ -10,10 +10,14 @@ MXU-friendly statistics: per-group sums come from two small matmuls —
 ``ones(1,HW) @ x → (1,C)`` and ``(1,C) @ group_onehot(C,G) → (1,G)`` — so
 the reduction runs on the systolic array instead of a long VPU tree.
 
-Dispatch: kernel handles rows that fit VMEM ((HW, C) ≤ ~8MB, e.g. every
-UNet GroupNorm at 64×64 latents); larger inputs (VAE at image resolution)
-fall back to XLA. Gradients flow through the XLA path (the kernel is used
-for inference/benchmark paths; training uses XLA where autodiff is needed).
+Dispatch (measured, BASELINE.md round-2 ablations):
+* rows that fit VMEM (small feature maps) → fully-fused single-row kernel;
+* everything larger → the channel-minor XLA formulation, which beat BOTH
+  Pallas alternatives at VAE shapes: a dedicated normalize kernel breaks
+  XLA's elementwise fusion (11.97 vs 13.68 patches/s) and a stats-only
+  kernel adds a full read that XLA's fused-with-producer reduction avoids
+  (12.69). ``hybrid`` and ``pallas_chunked`` remain explicit A/B modes.
+Gradients flow through the XLA path (custom_vjp wraps the kernel forwards).
 """
 from __future__ import annotations
 
@@ -30,7 +34,7 @@ _MODE = "auto"  # "auto" | "xla" | "pallas" | "pallas_interpret"
 
 def set_groupnorm_mode(mode: str) -> None:
     global _MODE
-    assert mode in ("auto", "xla", "pallas", "pallas_interpret")
+    assert mode in ("auto", "xla", "pallas", "pallas_interpret", "pallas_chunked", "hybrid")
     _MODE = mode
 
 
@@ -121,14 +125,169 @@ def _pallas_groupnorm_silu(x, scale, bias, groups, eps, silu, interpret=False):
     return out.reshape(b, h, w, c)
 
 
+# ---------------------------------------------------------------------------
+# Chunked two-kernel path for tensors too large for one VMEM residency
+# (VAE resolutions: e.g. (8, 512, 512, 256)). Kernel 1 streams spatial chunks
+# and emits per-chunk channel sums/sumsq via MXU matmuls (one full-bandwidth
+# read of x); the tiny (B, chunks, C) partials reduce to group stats in XLA;
+# kernel 2 streams chunks again applying normalize+affine(+SiLU) (one read +
+# one write). Total traffic = 3 bf16 passes — the monolithic XLA fusions
+# profiled at <10% HBM bandwidth here.
+# ---------------------------------------------------------------------------
+
+def _gn_stats_kernel(x_ref, s_ref, ss_ref):
+    """Accumulates channel sums across the (sequential) chunk grid axis into
+    a (1, 1, C) output block that stays resident for all chunks of a batch
+    row (standard Pallas revisiting-reduction pattern)."""
+    j = pl.program_id(1)
+    x = x_ref[0].astype(jnp.float32)              # (chunk, C)
+    ones = jnp.ones((1, x.shape[0]), jnp.float32)
+    cs = jax.lax.dot_general(ones, x, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    css = jax.lax.dot_general(ones, x * x, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _init():
+        s_ref[0] = jnp.zeros_like(s_ref[0])
+        ss_ref[0] = jnp.zeros_like(ss_ref[0])
+
+    s_ref[0] = s_ref[0] + cs
+    ss_ref[0] = ss_ref[0] + css
+
+
+def _gn_apply_kernel(x_ref, mul_ref, add_ref, o_ref, *, silu):
+    y = x_ref[0].astype(jnp.float32) * mul_ref[0] + add_ref[0]
+    if silu:
+        y = y * jax.nn.sigmoid(y)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _pick_chunk(hw: int, c: int = 128) -> int:
+    # VMEM per grid step ≈ bf16 in/out blocks + f32 copies (x, x*x or y)
+    # ≈ 8-12 bytes/elem with double buffering; keep the block ≤ ~512K elems
+    cap = max(512, (512 * 1024) // c * 128 // 128)
+    for chunk in (4096, 2048, 1024, 512):
+        if chunk <= cap and hw % chunk == 0:
+            return chunk
+    return 0
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_channel_stats(x, interpret=False):
+    """(B, H, W, C) → per-channel (sum, sumsq), each (B, C) f32 — one
+    full-bandwidth streaming read via MXU ones-matmuls."""
+    b, h, w, c = x.shape
+    hw = h * w
+    chunk = _pick_chunk(hw, c)
+    x2 = x.reshape(b, hw, c)
+    s, ss = pl.pallas_call(
+        _gn_stats_kernel,
+        out_shape=(jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+                   jax.ShapeDtypeStruct((b, 1, c), jnp.float32)),
+        grid=(b, hw // chunk),
+        in_specs=[pl.BlockSpec((1, chunk, c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(x2)
+    return s[:, 0], ss[:, 0]
+
+
+def _hybrid_groupnorm_silu(x, scale, bias, groups: int, eps: float, silu: bool,
+                           interpret: bool = False):
+    """Pallas stats + XLA normalize: the stats read streams at full HBM
+    bandwidth (profiled: XLA's reduce-fusions for the same stats ran at
+    ~78 GB/s), while the elementwise normalize stays in XLA so it fuses into
+    neighboring producers/consumers (which a dedicated apply-kernel broke —
+    see BASELINE.md round-2 ablations)."""
+    b, h, w, c = x.shape
+    s_c, ss_c = _pallas_channel_stats(x, interpret=interpret)
+    s_g = jnp.sum(s_c.reshape(b, groups, c // groups), axis=2)
+    ss_g = jnp.sum(ss_c.reshape(b, groups, c // groups), axis=2)
+    n = h * w * (c // groups)
+    mean_g = s_g / n
+    rstd_g = jax.lax.rsqrt(ss_g / n - mean_g * mean_g + eps)
+    mean_c = jnp.repeat(mean_g, c // groups, axis=1)
+    rstd_c = jnp.repeat(rstd_g, c // groups, axis=1)
+    mul = (rstd_c * scale[None, :].astype(jnp.float32))[:, None, None, :]
+    add = (bias[None, :].astype(jnp.float32)
+           - mean_c * rstd_c * scale[None, :].astype(jnp.float32))[:, None, None, :]
+    y = x.astype(jnp.float32) * mul + add
+    if silu:
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "eps", "silu", "interpret"))
+def _pallas_groupnorm_silu_chunked(x, scale, bias, groups, eps, silu,
+                                   interpret=False):
+    b, h, w, c = x.shape
+    hw = h * w
+    chunk = _pick_chunk(hw, c)
+    n_chunks = hw // chunk
+    x2 = x.reshape(b, hw, c)
+    s, ss = pl.pallas_call(
+        _gn_stats_kernel,
+        out_shape=(jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+                   jax.ShapeDtypeStruct((b, 1, c), jnp.float32)),
+        grid=(b, n_chunks),
+        in_specs=[pl.BlockSpec((1, chunk, c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(x2)
+    s_c = s[:, 0]                                  # (B, C)
+    ss_c = ss[:, 0]
+    n = hw * (c // groups)
+    s_g = jnp.sum(s_c.reshape(b, groups, c // groups), axis=2)
+    ss_g = jnp.sum(ss_c.reshape(b, groups, c // groups), axis=2)
+    mean_g = s_g / n
+    rstd_g = jax.lax.rsqrt(ss_g / n - mean_g * mean_g + eps)
+    mean_c = jnp.repeat(mean_g, c // groups, axis=1)
+    rstd_c = jnp.repeat(rstd_g, c // groups, axis=1)
+    mul = (rstd_c * scale[None, :].astype(jnp.float32))[:, None, :]  # (B,1,C)
+    add = (bias[None, :].astype(jnp.float32))[:, None, :] - mean_c[:, None, :] * mul
+    out = pl.pallas_call(
+        functools.partial(_gn_apply_kernel, silu=silu),
+        out_shape=jax.ShapeDtypeStruct((b, hw, c), x.dtype),
+        grid=(b, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, chunk, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, chunk, c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x2, mul, add)
+    return out.reshape(b, h, w, c)
+
+
 def _resolve_mode(shape) -> str:
     b, h, w, c = shape
     mode = _MODE
     if mode == "auto":
+        if jax.default_backend() != "tpu" or c % 128 != 0 or (h * w) % 8 != 0:
+            return "xla"
         # VMEM budget: f32 row + squared copy + output (~3x) plus
         # double-buffered bf16 in/out blocks must fit 16MB
-        fits = (h * w * c * 4) <= 3 * 1024 * 1024 and c % 128 == 0 and (h * w) % 8 == 0
-        mode = "pallas" if (jax.default_backend() == "tpu" and fits) else "xla"
+        if (h * w * c * 4) <= 3 * 1024 * 1024:
+            return "pallas"
+        # Measured (BASELINE.md round 2): both Pallas alternatives lose to
+        # the channel-minor XLA formulation at these shapes — the dedicated
+        # apply kernel breaks XLA's elementwise fusion (11.97 vs 13.68
+        # patches/s) and even a stats-only kernel costs an extra full read
+        # that the fused-with-producer XLA reduction avoids (12.69).
+        # "hybrid" / "pallas_chunked" stay as explicit A/B modes.
+        return "xla"
     return mode
 
 
@@ -138,6 +297,10 @@ def groupnorm_silu(x, scale, bias, groups: int = 32, eps: float = 1e-5,
     mode = _resolve_mode(x.shape)
     if mode == "xla":
         return _xla_groupnorm_silu(x, scale, bias, groups, eps, silu)
+    if mode == "hybrid":
+        return _hybrid_groupnorm_silu(x, scale, bias, groups, eps, silu)
+    if mode == "pallas_chunked":
+        return _pallas_groupnorm_silu_chunked(x, scale, bias, groups, eps, silu)
     return _pallas_groupnorm_silu(x, scale, bias, groups, eps, silu,
                                   interpret=(mode == "pallas_interpret"))
 

@@ -90,3 +90,87 @@ def test_resize_bilinear_matches_torch():
     want = F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2), size=(14, 18),
                          mode="bilinear", align_corners=False).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_groupnorm_chunked_matches_xla_interpret():
+    """Chunked two-kernel GN path (VAE-resolution tensors) vs the XLA
+    reference, interpret mode on CPU."""
+    import jax
+    import jax.numpy as jnp
+
+    from ldiffusion_tpu.ops.groupnorm import (
+        _pallas_groupnorm_silu_chunked,
+        _pick_chunk,
+        _xla_groupnorm_silu,
+    )
+
+    assert _pick_chunk(64 * 64, 128) == 4096
+    assert _pick_chunk(64 * 64, 512) == 1024   # chunk shrinks with channels
+    assert _pick_chunk(48 * 48, 128) == 0      # not divisible by any chunk size
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 32, 32, 256), jnp.float32)
+    scale = jnp.linspace(0.5, 1.5, 256)
+    bias = jnp.linspace(-0.2, 0.2, 256)
+    for silu in (True, False):
+        got = _pallas_groupnorm_silu_chunked(x, scale, bias, 32, 1e-5, silu,
+                                             interpret=True)
+        want = _xla_groupnorm_silu(x, scale, bias, 32, 1e-5, silu)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_groupnorm_hybrid_matches_xla_interpret():
+    """Pallas-stats + XLA-normalize hybrid path vs the XLA reference."""
+    import jax
+    import jax.numpy as jnp
+
+    from ldiffusion_tpu.ops.groupnorm import (
+        _hybrid_groupnorm_silu,
+        _xla_groupnorm_silu,
+    )
+
+    rng = jax.random.PRNGKey(1)
+    x = jax.random.normal(rng, (2, 32, 32, 256), jnp.float32)
+    scale = jnp.linspace(0.5, 1.5, 256)
+    bias = jnp.linspace(-0.2, 0.2, 256)
+    for silu in (True, False):
+        got = _hybrid_groupnorm_silu(x, scale, bias, 32, 1e-5, silu,
+                                     interpret=True)
+        want = _xla_groupnorm_silu(x, scale, bias, 32, 1e-5, silu)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_flash_attention_backward_matches_xla_vjp():
+    """The Pallas attention path must be differentiable (custom_vjp with XLA
+    backward) — a large-resolution fine-tune hits it under jax.grad. The
+    registered backward (_flash_bwd) must equal the vjp of the same math."""
+    import jax
+    import jax.numpy as jnp
+
+    from ldiffusion_tpu.ops import attention as att
+
+    scale = float(1.0 / np.sqrt(40))
+    q = jax.random.normal(jax.random.PRNGKey(0), (2, 512, 40), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (2, 512, 40), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (2, 512, 40), jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(3), (2, 512, 40), jnp.float32)
+
+    dq, dk, dv = att._flash_bwd(scale, 256, 512, (q, k, v), g)
+
+    def ref(q, k, v):
+        s = jnp.einsum("bqd,bkd->bqk", q, k,
+                       preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bqk,bkd->bqd", p.astype(v.dtype), v)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    rq, rk, rv = vjp(g)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), rtol=1e-5, atol=1e-5)
+    # and the reference math matches the kernel forward (interpret mode)
+    fwd = att._flash_attention_bhsd(q, k, v, scale, block_q=256, block_k=512,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(fwd), np.asarray(ref(q, k, v)),
+                               rtol=2e-4, atol=2e-4)
