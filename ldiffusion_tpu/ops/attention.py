@@ -170,7 +170,13 @@ def dot_product_attention(q, k, v, scale=None):
         return jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, s, d)
 
     block_q = 512 if sq % 512 == 0 else 256
-    block_k = 1024 if sk % 1024 == 0 else 512
+    # single-kv-block softmax (no online corrections) wins when the whole KV
+    # fits VMEM comfortably — only for small head dims (large-d attention is
+    # already routed to XLA by the kv_bytes gate)
+    if sk <= 4096 and d <= 64 and sk % 512 == 0:
+        block_k = sk
+    else:
+        block_k = 1024 if sk % 1024 == 0 else 512
     if interpret:
         out = _flash_attention_bhsd(
             to_bhsd(q, sq), to_bhsd(k, sk), to_bhsd(v, sk), float(scale),

@@ -141,3 +141,31 @@ def prepare_image_for_predictor(arr: np.ndarray) -> np.ndarray:
     if arr.shape[0] != 3:
         raise ValueError(f"Unexpected image shape after conversion: {arr.shape}")
     return arr[np.newaxis]
+
+
+# distinct overlay colors (same palette idea as nnUNet's overlay_plots.py
+# color_cycle); index 0 = background (not painted)
+OVERLAY_COLORS = np.array([
+    [0, 0, 0], [255, 64, 64], [64, 160, 255], [64, 224, 96], [255, 192, 64],
+    [192, 96, 255], [64, 224, 224], [255, 128, 192], [160, 160, 64],
+    [128, 96, 64], [224, 64, 160], [96, 128, 255],
+], np.uint8)
+
+
+def save_segmentation_overlay(image: np.ndarray, seg: np.ndarray, path: str,
+                              alpha: float = 0.6) -> None:
+    """Blend a class map over an RGB image and write a PNG (the analog of
+    nnUNet's ``utilities/overlay_plots.py:generate_overlay``). image:
+    (H, W, 3) float in [0,1] or uint8; seg: (H, W) int class ids."""
+    import os
+
+    from PIL import Image
+
+    img = np.asarray(image)
+    if img.dtype != np.uint8:
+        img = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+    colors = OVERLAY_COLORS[np.asarray(seg) % len(OVERLAY_COLORS)]
+    fg = (np.asarray(seg) > 0)[..., None]
+    out = np.where(fg, (alpha * colors + (1 - alpha) * img).astype(np.uint8), img)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    Image.fromarray(out).save(path)

@@ -290,3 +290,34 @@ def test_extract_fingerprint_3d_feeds_planner():
     plan = plan_experiment_3d(fp, num_classes=2)
     assert plan.spacing == (2.5, 1.0, 1.0)
     assert len(plan.patch_size) == 3
+
+
+def test_plans_file_inheritance(tmp_path):
+    """nnUNetPlans.json-style multi-config file with inherits_from
+    resolution (reference plans_handler.py:32-307)."""
+    import dataclasses
+
+    from ldiffusion_tpu.segmentor.plans_file import PlansFile, save_plans_file
+
+    configs = plan_all_configurations(_fingerprint(shape=(256, 512, 512)),
+                                      num_classes=2, hbm_budget=1 * 1024 ** 3)
+    path = str(tmp_path / "nnUNetPlans.json")
+    save_plans_file(path, configs, dataset_name="Dataset001_Test")
+    pf = PlansFile(path)
+    assert set(pf.configuration_names()) >= {"3d_fullres", "3d_lowres",
+                                             "3d_cascade_fullres"}
+    full = pf.get_configuration("3d_fullres")
+    assert full == configs["3d_fullres"]
+
+    # inheritance: a derived config overriding one key
+    pf.configurations["3d_bigbatch"] = {"inherits_from": "3d_fullres",
+                                        "batch_size": 7}
+    big = pf.get_configuration("3d_bigbatch")
+    assert big.batch_size == 7
+    assert big.patch_size == full.patch_size
+    # circular chains are rejected
+    pf.configurations["a"] = {"inherits_from": "b"}
+    pf.configurations["b"] = {"inherits_from": "a"}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pf.get_configuration("a")

@@ -172,3 +172,22 @@ def test_prefetcher():
     with pytest.raises(RuntimeError, match="producer died"):
         next(pf2)
         next(pf2)
+
+
+def test_segmentation_overlay(tmp_path):
+    """Overlay rendering (nnUNet utilities/overlay_plots.py analog)."""
+    import numpy as np
+
+    from ldiffusion_tpu.utils import save_segmentation_overlay
+
+    img = np.zeros((8, 8, 3), np.float32) + 0.5
+    seg = np.zeros((8, 8), np.int64)
+    seg[2:6, 2:6] = 1
+    p = str(tmp_path / "ov.png")
+    save_segmentation_overlay(img, seg, p)
+    from PIL import Image
+
+    out = np.asarray(Image.open(p))
+    assert out.shape == (8, 8, 3)
+    assert (out[0, 0] == 127).all() or (out[0, 0] == 128).all()  # untouched bg
+    assert out[3, 3, 0] > out[3, 3, 2]  # class-1 red blend
