@@ -56,7 +56,9 @@ class PatchSampler:
         # reference base_data_loader.py:45-53
         return idx_in_batch >= round(self.batch * (1.0 - self.oversample))
 
-    def sample_one(self, force_fg: bool):
+    def sample_coords(self, force_fg: bool):
+        """Pick a case and a patch lower-bound (reference
+        ``base_data_loader.py:64-139`` bbox logic)."""
         case = self.ds[self.keys[self.rng.integers(len(self.keys))]]
         shape = case.seg.shape
         patch = self.patch
@@ -78,14 +80,42 @@ class PatchSampler:
             lb = tuple(int(self.rng.integers(lb_min[ax],
                                              max(lb_min[ax], lb_max[ax]) + 1))
                        for ax in range(nd))
+        return case, lb
+
+    def sample_one(self, force_fg: bool):
+        case, lb = self.sample_coords(force_fg)
         return _crop_with_pad(case.data, case.seg, lb, self.patch)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         while True:
-            items = [self.sample_one(self._must_be_fg(i)) for i in range(self.batch)]
+            picks = [self.sample_coords(self._must_be_fg(i))
+                     for i in range(self.batch)]
+            native = self._try_native(picks)
+            if native is not None:
+                yield native
+                continue
+            items = [_crop_with_pad(c.data, c.seg, lb, self.patch)
+                     for c, lb in picks]
             data = np.stack([d for d, _ in items])
             seg = np.stack([s for _, s in items]).astype(np.int32)
             yield data, seg
+
+    def _try_native(self, picks):
+        """Batch crop+pad through the GIL-free multithreaded C++ routine
+        (``ldiffusion_tpu/native``); None → numpy fallback."""
+        if not all(c.data.dtype == np.float32 and c.data.flags.c_contiguous
+                   and c.seg.dtype == np.int16 and c.seg.flags.c_contiguous
+                   for c, _ in picks):
+            return None
+        from ldiffusion_tpu.native import crop_with_pad_batch_native
+
+        lbs = np.asarray([lb for _, lb in picks], np.int64)
+        out = crop_with_pad_batch_native(
+            [(c.data, c.seg) for c, _ in picks], lbs, self.patch)
+        if out is None:
+            return None
+        data, seg = out
+        return data, seg.astype(np.int32)
 
 
 def downsample_seg_for_ds(seg: np.ndarray, strides) -> list:

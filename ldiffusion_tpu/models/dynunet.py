@@ -61,9 +61,16 @@ class InstanceNorm(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
-        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-        var = jnp.var(x, axis=(1, 2), keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        # statistics in f32 (a 1024² spatial sum in bf16 loses the mantissa;
+        # torch AMP — the reference's regime — keeps norm stats in f32). The
+        # casts live INSIDE the reductions so they fuse; the normalize stays
+        # in the compute dtype, keeping backward residuals bf16 (an f32
+        # elementwise formulation doubled activation memory and OOMed the
+        # 2x1024² train step).
+        mean = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
+        var = jnp.var(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
+        rstd = jax.lax.rsqrt(var + self.eps)
+        y = (x - mean.astype(x.dtype)) * rstd.astype(x.dtype)
         scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
         return y * scale.astype(y.dtype) + bias.astype(y.dtype)

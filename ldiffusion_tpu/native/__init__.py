@@ -1,0 +1,118 @@
+"""Native (C++) runtime components, loaded via ctypes with lazy compilation.
+
+The reference's input pipeline runs in batchgenerators CPU worker processes
+(reference ``training/dataloading/base_data_loader.py``); the TPU-native
+replacement keeps sampling on the host thread but pushes the hot crop+pad
+batch assembly into a GIL-free multithreaded C++ routine
+(``fast_patches.cpp``). The library is compiled on first use with the
+toolchain's g++ and cached next to the source; every entry point has a
+pure-numpy fallback, so the framework works (slower) without a compiler.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "fast_patches.cpp")
+_SO = os.path.join(_HERE, "libfastpatches.so")
+
+_lock = threading.Lock()
+_lib = None
+_lib_failed = False
+
+
+def _build() -> Optional[str]:
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+           _SRC, "-o", _SO + ".tmp"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(_SO + ".tmp", _SO)
+        return _SO
+    except Exception:
+        return None
+
+
+def load_library():
+    """ctypes handle to the native library, or None (fallback mode)."""
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        so = _build()
+        if so is None:
+            _lib_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(so)
+            lib.crop_with_pad_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_void_p),   # datas
+                ctypes.POINTER(ctypes.c_void_p),   # segs
+                ctypes.POINTER(ctypes.c_int64),    # shapes (B, nd)
+                ctypes.POINTER(ctypes.c_int64),    # lbs (B, nd)
+                ctypes.c_int64, ctypes.c_int64,    # B, nd
+                ctypes.POINTER(ctypes.c_int64),    # patch (nd)
+                ctypes.c_int64,                    # C
+                ctypes.POINTER(ctypes.c_float),    # out_data
+                ctypes.POINTER(ctypes.c_int16),    # out_seg
+                ctypes.c_int64,                    # n_threads
+            ]
+            lib.crop_with_pad_batch.restype = None
+            _lib = lib
+        except OSError:
+            _lib_failed = True
+    return _lib
+
+
+def crop_with_pad_batch_native(cases: Sequence[Tuple[np.ndarray, np.ndarray]],
+                               lbs: np.ndarray, patch: Sequence[int],
+                               n_threads: int = 4):
+    """Batch crop+pad through the native library.
+
+    cases: B (data (*spatial, C) float32 C-contiguous, seg (*spatial) int16)
+    pairs; lbs: (B, nd) int64 lower bounds; patch: (nd).
+    Returns (data (B, *patch, C) float32, seg (B, *patch) int16) or None when
+    the native library is unavailable (callers fall back to numpy).
+    """
+    lib = load_library()
+    if lib is None:
+        return None
+    B = len(cases)
+    nd = len(patch)
+    data_ptrs = (ctypes.c_void_p * B)()
+    seg_ptrs = (ctypes.c_void_p * B)()
+    shapes = np.empty((B, nd), np.int64)
+    keepalive = []
+    for b, (d, s) in enumerate(cases):
+        assert d.dtype == np.float32 and d.flags.c_contiguous, (d.dtype, d.flags)
+        assert s.dtype == np.int16 and s.flags.c_contiguous
+        data_ptrs[b] = d.ctypes.data
+        seg_ptrs[b] = s.ctypes.data
+        shapes[b] = d.shape[:nd]
+        keepalive.append((d, s))
+    lbs = np.ascontiguousarray(lbs, np.int64)
+    patch_arr = np.asarray(patch, np.int64)
+    C = cases[0][0].shape[-1]
+    out_data = np.empty((B, *patch, C), np.float32)
+    out_seg = np.empty((B, *patch), np.int16)
+    lib.crop_with_pad_batch(
+        data_ptrs, seg_ptrs,
+        shapes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lbs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        B, nd,
+        patch_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        C,
+        out_data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_seg.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        n_threads,
+    )
+    return out_data, out_seg
