@@ -112,43 +112,54 @@ def _gamma(img, gamma, invert):
 
 
 def _augment_one(key, data, seg, cfg: AugmentConfig):
-    """data: (H, W, C) float32; seg: (H, W) int32."""
+    """data: (H, W, C) float32; seg: (H, W) int32.
+
+    Transforms with probability 0 are omitted at TRACE time (static python
+    guards on the static cfg): ``jnp.where`` evaluates both branches, so
+    without the guards a disabled transform still paid its full compute —
+    the affine gather in particular."""
     h, w = data.shape[:2]
     ks = jax.random.split(key, 16)
     u = jax.random.uniform(ks[0], (12,))
 
     # ---- spatial (rotation + scale, one resample) ----
-    angle = jnp.where(u[0] < cfg.p_rotation,
-                      jax.random.uniform(ks[1], (), minval=-cfg.rotation_max,
-                                         maxval=cfg.rotation_max), 0.0)
-    scale = jnp.where(u[1] < cfg.p_scaling,
-                      jax.random.uniform(ks[2], (), minval=cfg.scale_range[0],
-                                         maxval=cfg.scale_range[1]), 1.0)
-    do_spatial = (u[0] < cfg.p_rotation) | (u[1] < cfg.p_scaling)
-    sy, sx = _affine_coords(h, w, angle, scale)
-    data = jnp.where(do_spatial, _bilinear_sample(data, sy, sx, 1), data)
-    seg_s = _bilinear_sample(seg[..., None].astype(jnp.float32), sy, sx, 0)[..., 0]
-    seg = jnp.where(do_spatial, seg_s.astype(seg.dtype), seg)
+    if cfg.p_rotation > 0 or cfg.p_scaling > 0:
+        angle = jnp.where(u[0] < cfg.p_rotation,
+                          jax.random.uniform(ks[1], (), minval=-cfg.rotation_max,
+                                             maxval=cfg.rotation_max), 0.0)
+        scale = jnp.where(u[1] < cfg.p_scaling,
+                          jax.random.uniform(ks[2], (), minval=cfg.scale_range[0],
+                                             maxval=cfg.scale_range[1]), 1.0)
+        do_spatial = (u[0] < cfg.p_rotation) | (u[1] < cfg.p_scaling)
+        sy, sx = _affine_coords(h, w, angle, scale)
+        data = jnp.where(do_spatial, _bilinear_sample(data, sy, sx, 1), data)
+        seg_s = _bilinear_sample(seg[..., None].astype(jnp.float32), sy, sx, 0)[..., 0]
+        seg = jnp.where(do_spatial, seg_s.astype(seg.dtype), seg)
 
     # ---- gaussian noise ----
-    var = jax.random.uniform(ks[3], (), maxval=cfg.noise_var_max)
-    noise = jax.random.normal(ks[4], data.shape) * jnp.sqrt(var)
-    data = jnp.where(u[2] < cfg.p_noise, data + noise, data)
+    if cfg.p_noise > 0:
+        var = jax.random.uniform(ks[3], (), maxval=cfg.noise_var_max)
+        noise = jax.random.normal(ks[4], data.shape) * jnp.sqrt(var)
+        data = jnp.where(u[2] < cfg.p_noise, data + noise, data)
 
     # ---- gaussian blur ----
-    sigma = jax.random.uniform(ks[5], (), minval=cfg.blur_sigma[0], maxval=cfg.blur_sigma[1])
-    data = jnp.where(u[3] < cfg.p_blur, _blur(data, sigma), data)
+    if cfg.p_blur > 0:
+        sigma = jax.random.uniform(ks[5], (), minval=cfg.blur_sigma[0],
+                                   maxval=cfg.blur_sigma[1])
+        data = jnp.where(u[3] < cfg.p_blur, _blur(data, sigma), data)
 
     # ---- brightness (multiplicative) ----
-    b = jax.random.uniform(ks[6], (), minval=cfg.brightness_range[0],
-                           maxval=cfg.brightness_range[1])
-    data = jnp.where(u[4] < cfg.p_brightness, data * b, data)
+    if cfg.p_brightness > 0:
+        b = jax.random.uniform(ks[6], (), minval=cfg.brightness_range[0],
+                               maxval=cfg.brightness_range[1])
+        data = jnp.where(u[4] < cfg.p_brightness, data * b, data)
 
     # ---- contrast (preserve mean) ----
-    c = jax.random.uniform(ks[7], (), minval=cfg.contrast_range[0],
-                           maxval=cfg.contrast_range[1])
-    mean = jnp.mean(data, axis=(0, 1), keepdims=True)
-    data = jnp.where(u[5] < cfg.p_contrast, (data - mean) * c + mean, data)
+    if cfg.p_contrast > 0:
+        c = jax.random.uniform(ks[7], (), minval=cfg.contrast_range[0],
+                               maxval=cfg.contrast_range[1])
+        mean = jnp.mean(data, axis=(0, 1), keepdims=True)
+        data = jnp.where(u[5] < cfg.p_contrast, (data - mean) * c + mean, data)
 
     # ---- simulated low-res ----
     # Pool-based (reshape mean-pool + nearest upsample) with factor ∈ {2, 4}
@@ -160,22 +171,28 @@ def _augment_one(key, data, seg, cfg: AugmentConfig):
         pooled = data.reshape(hh // factor, factor, ww // factor, factor, c).mean((1, 3))
         return jnp.repeat(jnp.repeat(pooled, factor, 0), factor, 1)
 
-    factor4 = jax.random.uniform(ks[8], ()) < 0.5
-    low = jnp.where(factor4, lowres(4), lowres(2)) if h % 4 == 0 and w % 4 == 0 \
-        else data
-    data = jnp.where(u[6] < cfg.p_lowres, low, data)
+    if cfg.p_lowres > 0:
+        factor4 = jax.random.uniform(ks[8], ()) < 0.5
+        low = jnp.where(factor4, lowres(4), lowres(2)) if h % 4 == 0 and w % 4 == 0 \
+            else data
+        data = jnp.where(u[6] < cfg.p_lowres, low, data)
 
     # ---- gamma ----
-    g = jax.random.uniform(ks[9], (), minval=cfg.gamma_range[0], maxval=cfg.gamma_range[1])
-    data = jnp.where(u[7] < cfg.p_gamma_invert, _gamma(data, g, True), data)
-    g2 = jax.random.uniform(ks[10], (), minval=cfg.gamma_range[0], maxval=cfg.gamma_range[1])
-    data = jnp.where(u[8] < cfg.p_gamma, _gamma(data, g2, False), data)
+    if cfg.p_gamma_invert > 0:
+        g = jax.random.uniform(ks[9], (), minval=cfg.gamma_range[0],
+                               maxval=cfg.gamma_range[1])
+        data = jnp.where(u[7] < cfg.p_gamma_invert, _gamma(data, g, True), data)
+    if cfg.p_gamma > 0:
+        g2 = jax.random.uniform(ks[10], (), minval=cfg.gamma_range[0],
+                                maxval=cfg.gamma_range[1])
+        data = jnp.where(u[8] < cfg.p_gamma, _gamma(data, g2, False), data)
 
     # ---- mirroring ----
-    data = jnp.where(u[9] < cfg.p_mirror, data[::-1], data)
-    seg = jnp.where(u[9] < cfg.p_mirror, seg[::-1], seg)
-    data = jnp.where(u[10] < cfg.p_mirror, data[:, ::-1], data)
-    seg = jnp.where(u[10] < cfg.p_mirror, seg[:, ::-1], seg)
+    if cfg.p_mirror > 0:
+        data = jnp.where(u[9] < cfg.p_mirror, data[::-1], data)
+        seg = jnp.where(u[9] < cfg.p_mirror, seg[::-1], seg)
+        data = jnp.where(u[10] < cfg.p_mirror, data[:, ::-1], data)
+        seg = jnp.where(u[10] < cfg.p_mirror, seg[:, ::-1], seg)
     return data, seg
 
 
@@ -209,3 +226,52 @@ def augment_batch_3d(key, data, seg, cfg: AugmentConfig = AugmentConfig()):
 
     keys = jax.random.split(key, data.shape[0])
     return jax.vmap(one)(keys, data, seg)
+
+
+class HostSpatialAugmenter:
+    """Host-side rotation+scale, applied in the prefetch thread.
+
+    The device-side affine resample is a 1M-index gather per channel that
+    profiled at ~97% of the whole DA stack and more than the UNet fwd at
+    1024² (BASELINE.md round 2); the reference runs SpatialTransform on CPU
+    workers anyway (``nnUNetTrainer.py:673-795`` via batchgenerators), so
+    the faithful AND fast design is the native multithreaded C++ resample
+    (``ldiffusion_tpu/native``), overlapped with device compute by the
+    prefetcher. Pair with a device AugmentConfig whose spatial probabilities
+    are zeroed (``SegmentorTrainer`` does this automatically)."""
+
+    def __init__(self, cfg: AugmentConfig, seed: int = 0, n_threads: int = 4):
+        import numpy as np
+
+        self.cfg = cfg
+        self.rng = np.random.default_rng(seed)
+        self.n_threads = n_threads
+
+    def __call__(self, data, seg):
+        import numpy as np
+
+        from ldiffusion_tpu.native import (
+            affine_augment_batch_native,
+            affine_augment_batch_numpy,
+        )
+
+        cfg = self.cfg
+        B = data.shape[0]
+        u = self.rng.random((B, 2))
+        rot = u[:, 0] < cfg.p_rotation
+        sc = u[:, 1] < cfg.p_scaling
+        apply = rot | sc
+        if not apply.any():
+            return data, seg
+        angles = np.where(rot, self.rng.uniform(-cfg.rotation_max,
+                                                cfg.rotation_max, B), 0.0)
+        scales = np.where(sc, self.rng.uniform(cfg.scale_range[0],
+                                               cfg.scale_range[1], B), 1.0)
+        data = np.ascontiguousarray(data, np.float32)
+        seg16 = np.ascontiguousarray(seg, np.int16)
+        out = affine_augment_batch_native(data, seg16, angles, scales, apply,
+                                          n_threads=self.n_threads)
+        if out is None:
+            out = affine_augment_batch_numpy(data, seg16, angles, scales, apply)
+        d, s = out
+        return d, s.astype(seg.dtype)

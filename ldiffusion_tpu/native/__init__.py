@@ -116,3 +116,93 @@ def crop_with_pad_batch_native(cases: Sequence[Tuple[np.ndarray, np.ndarray]],
         n_threads,
     )
     return out_data, out_seg
+
+
+def _bind_affine(lib):
+    if getattr(lib, "_affine_bound", False):
+        return
+    lib.affine_augment_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p),   # datas
+        ctypes.POINTER(ctypes.c_void_p),   # segs
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double),   # angles
+        ctypes.POINTER(ctypes.c_double),   # scales
+        ctypes.POINTER(ctypes.c_uint8),    # apply flags
+        ctypes.POINTER(ctypes.c_float),    # out_data
+        ctypes.POINTER(ctypes.c_int16),    # out_seg
+        ctypes.c_int64,                    # n_threads
+    ]
+    lib.affine_augment_batch.restype = None
+    lib._affine_bound = True
+
+
+def affine_augment_batch_native(data: np.ndarray, seg: np.ndarray,
+                                angles: np.ndarray, scales: np.ndarray,
+                                apply: np.ndarray, n_threads: int = 4):
+    """Host-side rotation+scale (the batchgenerators SpatialTransform analog;
+    reference ``nnUNetTrainer.py:673-795`` runs it in CPU workers). Math
+    matches ``data/augment.py:_affine_coords``: inverse map about the patch
+    center, bilinear/zero-border data, nearest/zero-border seg.
+
+    data: (B, H, W, C) float32 contiguous; seg: (B, H, W) int16 contiguous.
+    Returns transformed copies, or None when the library is unavailable.
+    """
+    lib = load_library()
+    if lib is None:
+        return None
+    _bind_affine(lib)
+    B, H, W, C = data.shape
+    assert data.dtype == np.float32 and data.flags.c_contiguous
+    assert seg.dtype == np.int16 and seg.flags.c_contiguous
+    data_ptrs = (ctypes.c_void_p * B)(*[
+        data.ctypes.data + b * H * W * C * 4 for b in range(B)])
+    seg_ptrs = (ctypes.c_void_p * B)(*[
+        seg.ctypes.data + b * H * W * 2 for b in range(B)])
+    angles = np.ascontiguousarray(angles, np.float64)
+    scales = np.ascontiguousarray(scales, np.float64)
+    apply = np.ascontiguousarray(apply, np.uint8)
+    out_data = np.empty_like(data)
+    out_seg = np.empty_like(seg)
+    lib.affine_augment_batch(
+        data_ptrs, seg_ptrs, B, H, W, C,
+        angles.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        scales.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        apply.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out_data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_seg.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        n_threads,
+    )
+    return out_data, out_seg
+
+
+def affine_augment_batch_numpy(data, seg, angles, scales, apply):
+    """Pure-numpy fallback implementing the same math (vectorized)."""
+    B, H, W, C = data.shape
+    out_d = data.copy()
+    out_s = seg.copy()
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    yy, xx = np.mgrid[:H, :W].astype(np.float64)
+    y, x = yy - cy, xx - cx
+    for b in range(B):
+        if not apply[b]:
+            continue
+        cosv, sinv = np.cos(angles[b]), np.sin(angles[b])
+        sy = (cosv * y + sinv * x) / scales[b] + cy
+        sx = (-sinv * y + cosv * x) / scales[b] + cx
+        y0 = np.floor(sy).astype(np.int64)
+        x0 = np.floor(sx).astype(np.int64)
+        fy, fx = sy - y0, sx - x0
+        acc = np.zeros((H, W, C), np.float64)
+        for dy, dx, w in ((0, 0, (1 - fy) * (1 - fx)), (0, 1, (1 - fy) * fx),
+                          (1, 0, fy * (1 - fx)), (1, 1, fy * fx)):
+            yi, xi = y0 + dy, x0 + dx
+            ok = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+            vals = data[b][np.clip(yi, 0, H - 1), np.clip(xi, 0, W - 1)]
+            acc += (w * ok)[..., None] * vals
+        out_d[b] = acc.astype(np.float32)
+        ry = np.round(sy).astype(np.int64)
+        rx = np.round(sx).astype(np.int64)
+        ok = (ry >= 0) & (ry < H) & (rx >= 0) & (rx < W)
+        out_s[b] = np.where(ok, seg[b][np.clip(ry, 0, H - 1),
+                                       np.clip(rx, 0, W - 1)], 0).astype(seg.dtype)
+    return out_d, out_s

@@ -16,6 +16,7 @@
 //        fast_patches.cpp -o libfastpatches.so   (see native/__init__.py)
 
 #include <cstdint>
+#include <cmath>
 #include <cstring>
 #include <algorithm>
 #include <thread>
@@ -120,6 +121,96 @@ void crop_with_pad_batch(const float** datas, const int16_t** segs,
         work(0, B);
         return;
     }
+    std::vector<std::thread> threads;
+    const int64_t per = (B + nt - 1) / nt;
+    for (int64_t t = 0; t < nt; ++t) {
+        const int64_t b0 = t * per, b1 = std::min(B, b0 + per);
+        if (b0 >= b1) break;
+        threads.emplace_back(work, b0, b1);
+    }
+    for (auto& th : threads) th.join();
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Host-side spatial augmentation (rotation+scale), the batchgenerators
+// SpatialTransform analog (reference nnUNetTrainer.py:673-795 runs it in CPU
+// worker processes). Device-side gathers for the same transform cost more
+// than the UNet fwd at 1024^2 (BASELINE.md round 2), so the affine resample
+// lives here and overlaps device compute via the prefetch thread.
+//
+// Math matches data/augment.py:_affine_coords exactly: inverse map about the
+// patch center, bilinear (zero outside) for data, nearest (zero outside) for
+// seg.
+
+extern "C" {
+
+void affine_augment_batch(const float** datas, const int16_t** segs,
+                          int64_t B, int64_t H, int64_t W, int64_t C,
+                          const double* angles, const double* scales,
+                          const uint8_t* apply,
+                          float* out_data, int16_t* out_seg,
+                          int64_t n_threads) {
+    const int64_t img_elems = H * W * C;
+    const int64_t seg_elems = H * W;
+
+    auto work = [&](int64_t b0, int64_t b1) {
+        for (int64_t b = b0; b < b1; ++b) {
+            const float* din = datas[b];
+            const int16_t* sin_ = segs[b];
+            float* dout = out_data + b * img_elems;
+            int16_t* sout = out_seg + b * seg_elems;
+            if (!apply[b]) {
+                std::memcpy(dout, din, sizeof(float) * img_elems);
+                std::memcpy(sout, sin_, sizeof(int16_t) * seg_elems);
+                continue;
+            }
+            const double cy = (H - 1) / 2.0, cx = (W - 1) / 2.0;
+            const double cosv = std::cos(angles[b]), sinv = std::sin(angles[b]);
+            const double inv_s = 1.0 / scales[b];
+            for (int64_t i = 0; i < H; ++i) {
+                const double y = i - cy;
+                for (int64_t j = 0; j < W; ++j) {
+                    const double x = j - cx;
+                    const double sy = (cosv * y + sinv * x) * inv_s + cy;
+                    const double sx = (-sinv * y + cosv * x) * inv_s + cx;
+                    float* po = dout + (i * W + j) * C;
+                    // bilinear, zero outside
+                    const int64_t y0 = (int64_t)std::floor(sy);
+                    const int64_t x0 = (int64_t)std::floor(sx);
+                    const double fy = sy - y0, fx = sx - x0;
+                    const double w00 = (1 - fy) * (1 - fx), w01 = (1 - fy) * fx;
+                    const double w10 = fy * (1 - fx), w11 = fy * fx;
+                    for (int64_t c = 0; c < C; ++c) {
+                        double acc = 0.0;
+                        if (y0 >= 0 && y0 < H) {
+                            if (x0 >= 0 && x0 < W)
+                                acc += w00 * din[(y0 * W + x0) * C + c];
+                            if (x0 + 1 >= 0 && x0 + 1 < W)
+                                acc += w01 * din[(y0 * W + x0 + 1) * C + c];
+                        }
+                        if (y0 + 1 >= 0 && y0 + 1 < H) {
+                            if (x0 >= 0 && x0 < W)
+                                acc += w10 * din[((y0 + 1) * W + x0) * C + c];
+                            if (x0 + 1 >= 0 && x0 + 1 < W)
+                                acc += w11 * din[((y0 + 1) * W + x0 + 1) * C + c];
+                        }
+                        po[c] = (float)acc;
+                    }
+                    // nearest for labels, zero outside
+                    const int64_t ry = (int64_t)std::llround(sy);
+                    const int64_t rx = (int64_t)std::llround(sx);
+                    sout[i * W + j] =
+                        (ry >= 0 && ry < H && rx >= 0 && rx < W)
+                            ? sin_[ry * W + rx] : (int16_t)0;
+                }
+            }
+        }
+    };
+
+    const int64_t nt = std::max<int64_t>(1, std::min(n_threads, B));
+    if (nt == 1) { work(0, B); return; }
     std::vector<std::thread> threads;
     const int64_t per = (B + nt - 1) / nt;
     for (int64_t t = 0; t < nt; ++t) {

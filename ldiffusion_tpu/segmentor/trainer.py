@@ -69,6 +69,21 @@ class SegmentorTrainer:
         self.mesh = mesh
         self.output_dir = output_dir
         self.augment_cfg = augment or AugmentConfig()
+        # rotation/scale move to the host prefetch thread (native C++
+        # resample — the device gather cost more than the UNet fwd; the
+        # reference also runs SpatialTransform on CPU workers); the device
+        # stack keeps the cheap transforms
+        self.host_spatial = None
+        if len(plan.patch_size) == 2 and (self.augment_cfg.p_rotation > 0
+                                          or self.augment_cfg.p_scaling > 0):
+            import dataclasses as _dc
+
+            from ldiffusion_tpu.data.augment import HostSpatialAugmenter
+
+            self.host_spatial = HostSpatialAugmenter(self.augment_cfg,
+                                                     seed=config.seed + 17)
+            self.augment_cfg = _dc.replace(self.augment_cfg,
+                                           p_rotation=0.0, p_scaling=0.0)
         self.log = TextLogger(os.path.join(output_dir, "training_log.txt"))
         self.epoch_log = EpochLogger(config.ema_decay)
         self.current_epoch = 0
@@ -216,9 +231,12 @@ class SegmentorTrainer:
                     break
         from ldiffusion_tpu.data.prefetch import Prefetcher
 
-        train_iter = Prefetcher(iter(PatchSampler(
+        base_iter = iter(PatchSampler(
             train_ds, self.plan.patch_size, self.plan.batch_size,
-            cfg.oversample_fg, seed=cfg.seed)))
+            cfg.oversample_fg, seed=cfg.seed))
+        if self.host_spatial is not None:
+            base_iter = (self.host_spatial(d, s) for d, s in base_iter)
+        train_iter = Prefetcher(base_iter)
         val_iter = Prefetcher(iter(PatchSampler(
             val_ds, self.plan.patch_size, self.plan.batch_size,
             cfg.oversample_fg, seed=cfg.seed + 1)))
