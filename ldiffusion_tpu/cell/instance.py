@@ -200,6 +200,46 @@ class FlowNetProposer:
         params = net.init(rng, jnp.zeros((1, 64, 64, 3)))["params"]
         return cls(params=params, net=net, **kw)
 
+    # -- persistence ---------------------------------------------------------
+    def save(self, path: str) -> None:
+        """npz of flattened params + the feature schedule (portable artifact,
+        the cyto2-checkpoint analog)."""
+        import os
+
+        flat = {"/".join(p.key for p in k): np.asarray(v) for k, v in
+                jax.tree_util.tree_flatten_with_path(self.params)[0]}
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        np.savez_compressed(
+            path, __features__=np.asarray(self.net.config.features_per_stage),
+            **flat)
+
+    @classmethod
+    def load(cls, path: str, **kw) -> "FlowNetProposer":
+        z = np.load(path)
+        features = tuple(int(f) for f in z["__features__"])
+        prop = cls.create(features=features, **kw)
+
+        def rebuild(tree, prefix=()):
+            if isinstance(tree, dict):
+                return {k: rebuild(v, prefix + (k,)) for k, v in tree.items()}
+            return jnp.asarray(z["/".join(prefix)])
+
+        prop.params = rebuild(prop.params)
+        return prop
+
+    @classmethod
+    def load_pretrained(cls, **kw) -> "FlowNetProposer":
+        """The committed synthetic-data artifact (see
+        ``tools/train_flownet_artifact.py`` for provenance). Trained on
+        synthetic blob/ellipse instances — a starting point / demo weight,
+        not a pathology-domain model (the reference's cyto2 is likewise an
+        out-of-domain generalist, ``model/conductor.py:156-180``)."""
+        import os
+
+        path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                            "artifacts", "flownet_synthetic.npz")
+        return cls.load(path, **kw)
+
     def predict_flows(self, image: np.ndarray) -> np.ndarray:
         out = self.net.apply({"params": self.params},
                              jnp.asarray(image)[None], train=False)[0]

@@ -79,3 +79,27 @@ def test_trained_flownet_beats_watershed_on_elongated_cells():
     assert fn_m["pq"] > ws_m["pq"] + 0.15
     assert fn_m["pq"] > 0.6
     assert fn_m["mean_aji"] > ws_m["mean_aji"]
+
+
+def test_flownet_artifact_roundtrip(tmp_path):
+    """save/load preserves params bit-exactly; the committed pretrained
+    artifact loads and proposes."""
+    import jax
+
+    prop = FlowNetProposer.create(features=(8, 16), n_iter=20)
+    p = str(tmp_path / "fn.npz")
+    prop.save(p)
+    loaded = FlowNetProposer.load(p, n_iter=20)
+    key = lambda kv: "/".join(pk.key for pk in kv[0])
+    for (ka, va), (kb, vb) in zip(
+            sorted(jax.tree_util.tree_flatten_with_path(prop.params)[0], key=key),
+            sorted(jax.tree_util.tree_flatten_with_path(loaded.params)[0], key=key)):
+        assert [pk.key for pk in ka] == [pk.key for pk in kb]
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+    pre = FlowNetProposer.load_pretrained(n_iter=50)
+    rng = np.random.default_rng(3)
+    img, gt = make_case(rng)
+    inst = pre.propose(img)
+    assert inst.shape == gt.shape
+    assert inst.max() > 0  # finds instances on in-domain synthetic data
