@@ -44,3 +44,30 @@ def save_probabilities_npz(logits: np.ndarray, path: str):
     e = np.exp(x)
     probs = e / e.sum(axis=-1, keepdims=True)
     np.savez_compressed(path, probabilities=probs.astype(np.float16))
+
+
+def export_volume_prediction(logits: np.ndarray, properties: Dict,
+                             path: str, reader_writer=None) -> np.ndarray:
+    """3D export (reference ``inference/export_prediction.py:15-106`` for
+    volumes): linear-resample logits back to the pre-resample shape
+    (separate-z aware), argmax, revert the crop bbox, write through the
+    dataset's reader/writer (SimpleITK/Tiff3D/NIfTI — gated on their libs).
+
+    logits: (Z, H, W, C) float; properties: the preprocess_case_3d props
+    (original_shape / bbox / spacing / target_spacing).
+    Returns the final (Z, H, W) uint8 volume (also written when a
+    reader_writer is given).
+    """
+    from ldiffusion_tpu.segmentor.resample import resample_data_3d
+
+    tgt = properties.get("target_spacing", properties.get("spacing", (1, 1, 1)))
+    bbox = properties["bbox"]
+    cropped_shape = tuple(b[1] - b[0] for b in bbox)
+    if tuple(logits.shape[:3]) != cropped_shape:
+        logits = resample_data_3d(logits, cropped_shape, tgt, order=1)
+    seg = np.argmax(logits, axis=-1).astype(np.uint8)
+    full = np.zeros(tuple(properties["original_shape"]), np.uint8)
+    full[tuple(slice(b[0], b[1]) for b in bbox)] = seg
+    if reader_writer is not None:
+        reader_writer.write_seg(full, path, properties)
+    return full

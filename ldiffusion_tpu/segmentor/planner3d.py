@@ -236,3 +236,41 @@ def plan_all_configurations(fingerprint: Dict, num_classes: int,
         configs["3d_lowres"] = lowres
         configs["3d_cascade_fullres"] = cascade
     return configs
+
+
+def plan_and_preprocess_3d(volumes, labels, num_classes: int,
+                           spacings=None, planner: str = "default",
+                           hbm_budget: int = HBM_BUDGET_BYTES,
+                           plans_path: Optional[str] = None):
+    """The 3D plan-and-preprocess entry point (reference
+    ``experiment_planning/plan_and_preprocess_api.py:18-138``):
+    fingerprint → all 3D configurations → per-config preprocessed datasets
+    (+ optional nnUNetPlans.json). Returns (configs, {name: dataset}).
+
+    volumes: list of (Z, H, W, C) float arrays; labels: list of (Z, H, W).
+    """
+    from ldiffusion_tpu.segmentor.fingerprint import extract_fingerprint_3d
+    from ldiffusion_tpu.segmentor.preprocess import (
+        PreprocessedDataset,
+        preprocess_case_3d,
+    )
+
+    fp = extract_fingerprint_3d(volumes, labels, spacings=spacings)
+    configs = plan_all_configurations(fp, num_classes, hbm_budget,
+                                      planner=planner)
+    spacings = spacings or [(1.0, 1.0, 1.0)] * len(volumes)
+    datasets = {}
+    for name, plan in configs.items():
+        if plan.previous_stage is not None:
+            continue  # cascade stage consumes the lowres stage's output
+        cases = {}
+        for i, (vol, lab) in enumerate(zip(volumes, labels)):
+            cases[f"case_{i:03d}"] = preprocess_case_3d(
+                vol, lab, num_classes, spacing=spacings[i],
+                target_spacing=plan.spacing)
+        datasets[name] = PreprocessedDataset(cases=cases)
+    if plans_path:
+        from ldiffusion_tpu.segmentor.plans_file import save_plans_file
+
+        save_plans_file(plans_path, configs)
+    return configs, datasets

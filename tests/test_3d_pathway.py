@@ -321,3 +321,42 @@ def test_plans_file_inheritance(tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         pf.get_configuration("a")
+
+
+def test_plan_and_preprocess_3d_api(tmp_path):
+    """fingerprint → configs → preprocessed datasets → plans file in one
+    call (reference plan_and_preprocess_api.py)."""
+    from ldiffusion_tpu.segmentor.planner3d import plan_and_preprocess_3d
+
+    rng = np.random.default_rng(0)
+    vols = [rng.random((10, 20, 20, 1)).astype(np.float32) + 0.1
+            for _ in range(3)]
+    labs = [np.zeros((10, 20, 20), np.int64) for _ in range(3)]
+    for l in labs:
+        l[3:7, 6:14, 6:14] = 1
+    plans_path = str(tmp_path / "nnUNetPlans.json")
+    configs, datasets = plan_and_preprocess_3d(
+        vols, labs, num_classes=2, spacings=[(2.0, 1.0, 1.0)] * 3,
+        plans_path=plans_path)
+    assert "3d_fullres" in configs and "3d_fullres" in datasets
+    ds = datasets["3d_fullres"]
+    assert len(ds.keys()) == 3
+    case = ds[ds.keys()[0]]
+    assert case.data.ndim == 4
+    import os
+    assert os.path.exists(plans_path)
+
+
+def test_export_volume_prediction():
+    from ldiffusion_tpu.segmentor.export import export_volume_prediction
+
+    logits = np.zeros((4, 8, 8, 2), np.float32)
+    logits[..., 1] = -1
+    logits[1:3, 2:6, 2:6, 1] = 5.0  # class 1 region
+    props = {"original_shape": [6, 12, 12],
+             "bbox": [[1, 5], [2, 10], [2, 10]],
+             "spacing": [1, 1, 1], "target_spacing": [1, 1, 1]}
+    full = export_volume_prediction(logits, props, path="")
+    assert full.shape == (6, 12, 12)
+    assert full[2, 5, 5] == 1       # inside region, offset by bbox
+    assert full[0].max() == 0       # outside bbox stays background
