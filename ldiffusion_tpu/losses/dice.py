@@ -232,6 +232,34 @@ def dc_and_bce_loss(logits, region_targets, loss_mask=None, axis_name=None,
     return dc + bce
 
 
+def sigmoid_focal_loss(logits, targets, alpha: float = 0.25, gamma: float = 2.0,
+                       loss_mask=None):
+    """Binary (sigmoid) focal loss (the fork's ``FocalLoss``, reference
+    ``compound_losses.py:152-170``): alpha*(1-p_t)^gamma * BCE, mean-reduced
+    (masked mean when a loss mask is given, ``:197-200``)."""
+    lg = logits.astype(jnp.float32)
+    tg = targets.astype(jnp.float32)
+    bce = jnp.maximum(lg, 0) - lg * tg + jnp.log1p(jnp.exp(-jnp.abs(lg)))
+    p = jax.nn.sigmoid(lg)
+    p_t = tg * p + (1 - tg) * (1 - p)
+    fl = alpha * (1 - p_t) ** gamma * bce
+    if loss_mask is not None:
+        m = loss_mask[..., None].astype(jnp.float32)
+        return jnp.sum(fl * m) / jnp.clip(jnp.sum(m), 1e-8)
+    return jnp.mean(fl)
+
+
+def dc_and_focal_sigmoid_loss(logits, region_targets, loss_mask=None,
+                              axis_name=None, batch_dice: bool = True):
+    """The fork's region-training loss (reference ``nnUNetTrainer.py:350-355``
+    builds ``DC_and_Focal_loss`` with sigmoid dice do_bg=True when the label
+    manager has regions; ``compound_losses.py:173-207``)."""
+    dc = soft_dice_loss_sigmoid(logits, region_targets, loss_mask,
+                                batch_dice=batch_dice, axis_name=axis_name)
+    fl = sigmoid_focal_loss(logits, region_targets, loss_mask=loss_mask)
+    return dc + fl
+
+
 def kl_div_multichannel(pred_logits, target_logits):
     """KL(softmax(target) || softmax(pred)) with batchmean reduction
     (reference ``model/loss.py:206-214``, unused there but inventoried)."""

@@ -34,6 +34,7 @@ from ldiffusion_tpu.core.logging import EpochLogger, TextLogger, dump_debug_json
 from ldiffusion_tpu.data.augment import AugmentConfig, augment_batch, augment_batch_3d
 from ldiffusion_tpu.data.patches import PatchSampler
 from ldiffusion_tpu.losses.dice import (
+    dc_and_focal_sigmoid_loss,
     deep_supervision_loss,
     robust_cross_entropy,
     soft_dice_loss,
@@ -57,10 +58,17 @@ def poly_lr(initial_lr: float, epoch: int, max_epochs: int, exponent: float = 0.
 class SegmentorTrainer:
     def __init__(self, plan: SegPlan, config: SegmentorTrainConfig, mesh: MeshContext,
                  output_dir: str = "train_save/segmentor", augment: Optional[AugmentConfig] = None,
-                 variant=None):
+                 variant=None, label_manager=None):
         # variant: a segmentor.variants.TrainerVariant — the config-space
-        # analog of nnUNet's trainer subclasses; overrides loss/lr/optimizer
+        # analog of nnUNet's trainer subclasses; overrides loss/lr/optimizer.
+        # label_manager: segmentor.label_manager.LabelManager — regions regime
+        # trains sigmoid heads with the fork's DC+Focal (reference
+        # nnUNetTrainer.py:350-355); an ignore label masks losses/metrics.
         self.variant = variant
+        self.label_manager = label_manager
+        if label_manager is not None and label_manager.has_regions:
+            assert plan.num_classes == label_manager.num_segmentation_heads, (
+                plan.num_classes, label_manager.num_segmentation_heads)
         if variant is not None:
             config = variant.config
             augment = augment or variant.augment
@@ -130,6 +138,28 @@ class SegmentorTrainer:
         opt_state = jax.jit(self.tx.init, out_shardings=None)(params)
         self.state = SegTrainState(params=params, opt_state=opt_state,
                                    step=jnp.zeros((), jnp.int32))
+        # label-regime LUTs, indexed by seg+1 (row 0 = the -1 outside-crop
+        # padding): region one-hot maps + loss mask excluding the ignore label
+        # (reference label_handling.py:248-322 + DC_and_Focal ignore handling)
+        self._region_lut = None
+        self._mask_lut = None
+        if label_manager is not None:
+            labels = list(label_manager.all_labels)
+            if label_manager.has_ignore_label:
+                labels.append(label_manager.ignore_label)
+            max_l = max(labels)
+            mask = np.ones(max_l + 2, np.float32)
+            mask[0] = 0.0
+            if label_manager.has_ignore_label:
+                mask[label_manager.ignore_label + 1] = 0.0
+            self._mask_lut = jnp.asarray(mask)
+            if label_manager.has_regions:
+                lut = np.zeros((max_l + 2, label_manager.num_segmentation_heads),
+                               np.float32)
+                for ri, region in enumerate(label_manager.regions):
+                    for lbl in region:
+                        lut[lbl + 1, ri] = 1.0
+                self._region_lut = jnp.asarray(lut)
         self._train_step = self._make_train_step()
         self._val_step = self._make_val_step()
         dump_debug_json(os.path.join(output_dir, "debug.json"),
@@ -145,8 +175,18 @@ class SegmentorTrainer:
             else "dc_and_ce"
 
         def one(logits, seg):
-            mask = (seg >= 0).astype(jnp.float32)  # -1 = outside-crop padding
-            tgt = jnp.maximum(seg, 0)
+            if self._region_lut is not None:
+                idx = jnp.clip(seg + 1, 0, self._region_lut.shape[0] - 1)
+                return dc_and_focal_sigmoid_loss(
+                    logits, self._region_lut[idx], loss_mask=self._mask_lut[idx],
+                    batch_dice=self.plan.batch_dice)
+            if self._mask_lut is not None:   # plain labels with ignore label
+                idx = jnp.clip(seg + 1, 0, self._mask_lut.shape[0] - 1)
+                mask = self._mask_lut[idx]
+                tgt = jnp.where(mask > 0, jnp.maximum(seg, 0), 0)
+            else:
+                mask = (seg >= 0).astype(jnp.float32)  # -1 = outside-crop padding
+                tgt = jnp.maximum(seg, 0)
             if loss_name == "dice":
                 return soft_dice_loss(logits, tgt, loss_mask=mask,
                                       batch_dice=self.plan.batch_dice)
@@ -196,8 +236,33 @@ class SegmentorTrainer:
         @jax.jit
         def step(params, data, seg):
             logits = self.net.apply({"params": params}, data, train=False)
-            mask = (seg >= 0)
-            tgt = jnp.maximum(seg, 0)
+            if self._region_lut is not None:
+                # regions regime: sigmoid heads, per-region tp/fp/fn
+                # (reference nnUNetTrainer.py:957-1003 region branch)
+                idx = jnp.clip(seg + 1, 0, self._region_lut.shape[0] - 1)
+                th = self._region_lut[idx]
+                m = self._mask_lut[idx][..., None]
+                loss = dc_and_focal_sigmoid_loss(
+                    logits, th, loss_mask=self._mask_lut[idx],
+                    batch_dice=self.plan.batch_dice)
+                ph = (jax.nn.sigmoid(logits.astype(jnp.float32)) > 0.5
+                      ).astype(jnp.float32) * m
+                th = th * m
+                axes = tuple(range(ph.ndim - 1))
+                tp = jnp.sum(ph * th, axis=axes)
+                fp = jnp.sum(ph * (1 - th), axis=axes)
+                fn = jnp.sum((1 - ph) * th, axis=axes)
+                # prepend a dummy background column: the epoch loop's [1:]
+                # slice expects head 0 = background in the plain regime
+                pad = lambda v: jnp.concatenate([jnp.zeros((1,), v.dtype), v])
+                return loss, pad(tp), pad(fp), pad(fn)
+            if self._mask_lut is not None:
+                idx = jnp.clip(seg + 1, 0, self._mask_lut.shape[0] - 1)
+                mask = self._mask_lut[idx] > 0
+                tgt = jnp.where(mask, jnp.maximum(seg, 0), 0)
+            else:
+                mask = (seg >= 0)
+                tgt = jnp.maximum(seg, 0)
             loss = soft_dice_loss(logits, tgt, loss_mask=mask.astype(jnp.float32),
                                   batch_dice=self.plan.batch_dice) + \
                 robust_cross_entropy(logits, tgt, loss_mask=mask.astype(jnp.float32))
@@ -265,9 +330,13 @@ class SegmentorTrainer:
 
             # ---- validate ----
             vl = 0.0
-            tp = np.zeros(self.plan.num_classes)
-            fp = np.zeros(self.plan.num_classes)
-            fn = np.zeros(self.plan.num_classes)
+            # regions regime prepends a dummy background column (the [1:]
+            # foreground slice below then covers exactly the region heads)
+            n_heads = self.plan.num_classes + (1 if self._region_lut is not None
+                                               else 0)
+            tp = np.zeros(n_heads)
+            fp = np.zeros(n_heads)
+            fn = np.zeros(n_heads)
             for _ in range(cfg.val_iters_per_epoch):
                 data, seg = next(val_iter)
                 data = self.mesh.shard_batch(jnp.asarray(data))
