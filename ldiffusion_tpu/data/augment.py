@@ -219,9 +219,11 @@ def augment_batch_3d(key, data, seg, cfg: AugmentConfig = AugmentConfig()):
             d = jnp.where(flip, jnp.flip(d, axis=ax), d)
             s = jnp.where(flip, jnp.flip(s, axis=ax), s)
         if cfg.p_noise > 0:
-            do = jax.random.bernoulli(ks[3], cfg.p_noise)
-            var = jax.random.uniform(ks[3], (), minval=0.0, maxval=cfg.noise_var_max)
-            d = d + do * jax.random.normal(ks[4], d.shape, d.dtype) * jnp.sqrt(var)
+            ks2 = jax.random.split(ks[3], 3)
+            do = jax.random.bernoulli(ks2[0], cfg.p_noise)
+            var = jax.random.uniform(ks2[1], (), minval=0.0,
+                                     maxval=cfg.noise_var_max)
+            d = d + do * jax.random.normal(ks2[2], d.shape, d.dtype) * jnp.sqrt(var)
         return d, s
 
     keys = jax.random.split(key, data.shape[0])

@@ -160,6 +160,8 @@ def panoptic_quality(pred: np.ndarray, gt: np.ndarray,
     framework has no instance metric at all (its cellpose path is unscored);
     BASELINE.md's Dice/PQ target makes this a first-class metric here.
     """
+    assert iou_threshold >= 0.5, (
+        "PQ matching is only unique (assignment-free) for IoU > 0.5")
     inter, pred_areas, gt_areas, _, _ = _pairwise_intersections(pred, gt)
     ng, np_ = inter.shape
     if ng == 0 and np_ == 0:
@@ -181,9 +183,12 @@ def panoptic_quality(pred: np.ndarray, gt: np.ndarray,
 
 
 def aggregated_jaccard_index(pred: np.ndarray, gt: np.ndarray) -> float:
-    """AJI (Kumar et al. 2017): each GT instance greedily claims its
-    best-IoU prediction (used at most once); aggregate intersection over
-    aggregate union, with unclaimed predictions added to the union."""
+    """AJI (Kumar et al. 2017): each GT instance claims its best-IoU
+    prediction; aggregate intersection over aggregate union, with never-
+    claimed predictions added to the union. As in the standard MoNuSeg /
+    hover-net implementation, a prediction CAN be claimed by multiple GT
+    instances (the ``used`` set only controls the unmatched-prediction
+    penalty) — a known property of AJI, kept for comparability."""
     inter, pred_areas, gt_areas, _, _ = _pairwise_intersections(pred, gt)
     ng, np_ = inter.shape
     if ng == 0:

@@ -13,8 +13,9 @@ Covers both loss stacks in the reference:
   with *soft* probabilities so it is differentiable (the reference's argmax
   dice had zero gradient; documented fix, SURVEY §7 "bugs not to replicate").
 
-Conventions: logits are NHWC (B, H, W, C); targets are (B, H, W) int; an
-optional ``loss_mask`` handles the ignore label (-1 padding regions / 255).
+Conventions: logits are channels-last (B, *spatial, C) — 2D or 3D; targets
+are (B, *spatial) int; an optional ``loss_mask`` handles the ignore label
+(-1 padding regions / 255).
 """
 from __future__ import annotations
 
@@ -43,7 +44,10 @@ def soft_dice_loss(logits, targets, loss_mask=None, batch_dice: bool = True,
     if loss_mask is not None:
         m = loss_mask[..., None].astype(jnp.float32)
         probs, onehot = probs * m, onehot * m
-    reduce_axes = (0, 1, 2) if batch_dice else (1, 2)
+    # all axes except channels (and except batch when batch_dice=False) —
+    # rank-agnostic so 3D (B, Z, H, W, C) volumes reduce correctly
+    spatial = tuple(range(1, probs.ndim - 1))
+    reduce_axes = (0,) + spatial if batch_dice else spatial
     tp = jnp.sum(probs * onehot, axis=reduce_axes)
     fp = jnp.sum(probs * (1.0 - onehot), axis=reduce_axes)
     fn = jnp.sum((1.0 - probs) * onehot, axis=reduce_axes)
@@ -209,7 +213,8 @@ def soft_dice_loss_sigmoid(logits, region_targets, loss_mask=None,
     if loss_mask is not None:
         m = loss_mask[..., None].astype(jnp.float32)
         probs, tgt = probs * m, tgt * m
-    reduce_axes = (0, 1, 2) if batch_dice else (1, 2)
+    spatial = tuple(range(1, probs.ndim - 1))
+    reduce_axes = (0,) + spatial if batch_dice else spatial
     tp = jnp.sum(probs * tgt, axis=reduce_axes)
     fp = jnp.sum(probs * (1 - tgt), axis=reduce_axes)
     fn = jnp.sum((1 - probs) * tgt, axis=reduce_axes)

@@ -38,6 +38,26 @@ def set_groupnorm_mode(mode: str) -> None:
     _MODE = mode
 
 
+def _stats_to_affine(s_c, ss_c, n_spatial, groups, c, scale, bias, eps):
+    """(B, C) channel sums/sumsq → per-(B, C) affine (mul, add) implementing
+    normalize+scale+bias. Variance via E[x²]-E[x]² clamped at 0 (the
+    single-pass form can cancel below zero for mean ≫ std; the clamp keeps
+    rsqrt finite — the residual precision loss vs two-pass is accepted and
+    covered by the torch-parity tolerances)."""
+    b = s_c.shape[0]
+    n = n_spatial * (c // groups)
+    s_g = jnp.sum(s_c.reshape(b, groups, c // groups), axis=2)    # (B, G)
+    ss_g = jnp.sum(ss_c.reshape(b, groups, c // groups), axis=2)
+    mean_g = s_g / n
+    var_g = jnp.maximum(ss_g / n - mean_g * mean_g, 0.0)
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.repeat(mean_g, c // groups, axis=1)               # (B, C)
+    rstd_c = jnp.repeat(rstd_g, c // groups, axis=1)
+    mul = rstd_c * scale[None, :].astype(jnp.float32)
+    add = bias[None, :].astype(jnp.float32) - mean_c * mul
+    return mul, add
+
+
 def _xla_groupnorm_silu(x, scale, bias, groups: int, eps: float, silu: bool):
     """Channel-minor formulation: per-channel sum/sumsq over (H, W) first
     (layout-friendly reductions, C stays on lanes), then the group reduction
@@ -52,19 +72,8 @@ def _xla_groupnorm_silu(x, scale, bias, groups: int, eps: float, silu: bool):
     xf = x.astype(jnp.float32)
     s_c = jnp.sum(xf, axis=(1, 2))                     # (B, C)
     ss_c = jnp.sum(xf * xf, axis=(1, 2))               # (B, C)
-    s_g = jnp.sum(s_c.reshape(b, groups, c // groups), axis=2)    # (B, G)
-    ss_g = jnp.sum(ss_c.reshape(b, groups, c // groups), axis=2)
-    n = h * w * (c // groups)
-    mean_g = s_g / n
-    var_g = ss_g / n - mean_g * mean_g
-    rstd_g = jax.lax.rsqrt(var_g + eps)
-    # broadcast group stats back to channels: (B, C)
-    mean_c = jnp.repeat(mean_g, c // groups, axis=1)
-    rstd_c = jnp.repeat(rstd_g, c // groups, axis=1)
-    mul = (rstd_c * scale[None, :].astype(jnp.float32))[:, None, None, :]
-    add = (bias[None, :].astype(jnp.float32)
-           - mean_c * rstd_c * scale[None, :].astype(jnp.float32))[:, None, None, :]
-    y = xf * mul + add
+    mul, add = _stats_to_affine(s_c, ss_c, h * w, groups, c, scale, bias, eps)
+    y = xf * mul[:, None, None, :] + add[:, None, None, :]
     if silu:
         y = y * jax.nn.sigmoid(y)
     return y.astype(x.dtype)
@@ -180,6 +189,7 @@ def _pallas_channel_stats(x, interpret=False):
     b, h, w, c = x.shape
     hw = h * w
     chunk = _pick_chunk(hw, c)
+    assert chunk > 0, f"no valid chunk size for hw={hw}, c={c}"
     x2 = x.reshape(b, hw, c)
     s, ss = pl.pallas_call(
         _gn_stats_kernel,
@@ -205,18 +215,11 @@ def _hybrid_groupnorm_silu(x, scale, bias, groups: int, eps: float, silu: bool,
     neighboring producers/consumers (which a dedicated apply-kernel broke —
     see BASELINE.md round-2 ablations)."""
     b, h, w, c = x.shape
+    if _pick_chunk(h * w, c) == 0:   # no valid chunking → XLA formulation
+        return _xla_groupnorm_silu(x, scale, bias, groups, eps, silu)
     s_c, ss_c = _pallas_channel_stats(x, interpret=interpret)
-    s_g = jnp.sum(s_c.reshape(b, groups, c // groups), axis=2)
-    ss_g = jnp.sum(ss_c.reshape(b, groups, c // groups), axis=2)
-    n = h * w * (c // groups)
-    mean_g = s_g / n
-    rstd_g = jax.lax.rsqrt(ss_g / n - mean_g * mean_g + eps)
-    mean_c = jnp.repeat(mean_g, c // groups, axis=1)
-    rstd_c = jnp.repeat(rstd_g, c // groups, axis=1)
-    mul = (rstd_c * scale[None, :].astype(jnp.float32))[:, None, None, :]
-    add = (bias[None, :].astype(jnp.float32)
-           - mean_c * rstd_c * scale[None, :].astype(jnp.float32))[:, None, None, :]
-    y = x.astype(jnp.float32) * mul + add
+    mul, add = _stats_to_affine(s_c, ss_c, h * w, groups, c, scale, bias, eps)
+    y = x.astype(jnp.float32) * mul[:, None, None, :] + add[:, None, None, :]
     if silu:
         y = y * jax.nn.sigmoid(y)
     return y.astype(x.dtype)
@@ -228,6 +231,8 @@ def _pallas_groupnorm_silu_chunked(x, scale, bias, groups, eps, silu,
     b, h, w, c = x.shape
     hw = h * w
     chunk = _pick_chunk(hw, c)
+    if chunk == 0:                    # no valid chunking → XLA formulation
+        return _xla_groupnorm_silu(x, scale, bias, groups, eps, silu)
     n_chunks = hw // chunk
     x2 = x.reshape(b, hw, c)
     s, ss = pl.pallas_call(
@@ -243,17 +248,9 @@ def _pallas_groupnorm_silu_chunked(x, scale, bias, groups, eps, silu,
                                 memory_space=pltpu.VMEM)),
         interpret=interpret,
     )(x2)
-    s_c = s[:, 0]                                  # (B, C)
-    ss_c = ss[:, 0]
-    n = hw * (c // groups)
-    s_g = jnp.sum(s_c.reshape(b, groups, c // groups), axis=2)
-    ss_g = jnp.sum(ss_c.reshape(b, groups, c // groups), axis=2)
-    mean_g = s_g / n
-    rstd_g = jax.lax.rsqrt(ss_g / n - mean_g * mean_g + eps)
-    mean_c = jnp.repeat(mean_g, c // groups, axis=1)
-    rstd_c = jnp.repeat(rstd_g, c // groups, axis=1)
-    mul = (rstd_c * scale[None, :].astype(jnp.float32))[:, None, :]  # (B,1,C)
-    add = (bias[None, :].astype(jnp.float32))[:, None, :] - mean_c[:, None, :] * mul
+    mul, add = _stats_to_affine(s[:, 0], ss[:, 0], hw, groups, c, scale,
+                                bias, eps)
+    mul, add = mul[:, None, :], add[:, None, :]    # (B, 1, C)
     out = pl.pallas_call(
         functools.partial(_gn_apply_kernel, silu=silu),
         out_shape=jax.ShapeDtypeStruct((b, hw, c), x.dtype),

@@ -203,9 +203,10 @@ def plan_experiment_3d(fingerprint: Dict, num_classes: int,
         n_conv_per_stage=2, num_classes=num_classes, in_channels=in_ch,
         normalization=fingerprint.get("normalization", "zscore"),
         median_shape=tuple(median_shape),
-        # 3d uses sample dice unless the patch covers the full case
-        # (reference :437-449)
-        batch_dice=bool(np.all(np.asarray(patch) >= np.asarray(median_shape))),
+        # reference :437-441: fullres batch_dice=True ONLY when a 3d_lowres
+        # stage exists; standalone 3d configs use sample dice.
+        # plan_all_configurations flips the flag when it emits the lowres pair
+        batch_dice=False,
         block_type="residual" if resenc else "plain",
         n_blocks_per_stage=tuple(RESENC_M_BLOCKS[:len(features)]) if resenc else (),
         previous_stage=previous_stage,
@@ -231,7 +232,12 @@ def plan_all_configurations(fingerprint: Dict, num_classes: int,
         lowres = plan_experiment_3d(fingerprint, num_classes, hbm_budget,
                                     planner=planner,
                                     spacing_override=lowres_spacing)
-        lowres = dataclasses.replace(lowres, next_stage="3d_cascade_fullres")
+        # reference :437-441: when lowres exists, fullres trains with batch
+        # dice and lowres with sample dice
+        fullres = dataclasses.replace(fullres, batch_dice=True)
+        configs["3d_fullres"] = fullres
+        lowres = dataclasses.replace(lowres, next_stage="3d_cascade_fullres",
+                                     batch_dice=False)
         cascade = dataclasses.replace(fullres, previous_stage="3d_lowres")
         configs["3d_lowres"] = lowres
         configs["3d_cascade_fullres"] = cascade

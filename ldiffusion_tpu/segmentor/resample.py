@@ -112,10 +112,17 @@ def resample_data_3d(data: np.ndarray, new_shape: Sequence[int],
     if vol.shape[0] == nz:
         return vol.astype(data.dtype)
     # z pass with order_z (nearest default; seg always nearest-like)
-    zoom_z = nz / vol.shape[0]
     if is_seg or order_z == 0:
-        idx = np.clip(np.round(np.arange(nz) / zoom_z).astype(np.int64),
-                      0, vol.shape[0] - 1)
+        # ndimage.zoom order-0 coordinate convention (grid_mode=False):
+        # x_in = i_out * (old-1)/(new-1), then nearest — centered, unlike a
+        # plain i/zoom mapping which shifts the volume by up to half a slice
+        old_z = vol.shape[0]
+        if nz == 1:
+            idx = np.zeros(1, np.int64)
+        else:
+            idx = np.round(np.arange(nz) * (old_z - 1) / (nz - 1)).astype(np.int64)
+        idx = np.clip(idx, 0, old_z - 1)
         return vol[idx].astype(data.dtype)
+    zoom_z = nz / vol.shape[0]
     axes_zoom = (zoom_z,) + (1.0,) * (vol.ndim - 1)
     return ndimage.zoom(vol, axes_zoom, order=order_z).astype(data.dtype)

@@ -212,6 +212,10 @@ class SegmentorTrainer:
         n_ds = sum(1 for s in self.plan.strides if pools(s)) + 1 \
             if self.plan.deep_supervision else 1
         aug = augment_batch_3d if self.is_3d else augment_batch
+        # mode-pool one-hot depth must cover region/ignore label VALUES, which
+        # can exceed the network head count (LUT rows = max_label + 2)
+        n_labels = (self._mask_lut.shape[0] - 1 if self._mask_lut is not None
+                    else self.plan.num_classes)
 
         @partial(jax.jit, donate_argnums=(0,),
                  static_argnames=())
@@ -221,7 +225,7 @@ class SegmentorTrainer:
             cur = seg
             for s in self.plan.strides[1:]:
                 if pools(s):
-                    cur = _downsample_seg(cur, s, self.plan.num_classes)
+                    cur = _downsample_seg(cur, s, n_labels)
                     seg_list.append(cur)
             seg_list = seg_list[:n_ds]
             loss, grads = jax.value_and_grad(self._loss)(state.params, data, seg_list)
@@ -473,7 +477,7 @@ class SegmentorTrainer:
         self.epoch_log.load_state_dict(ck["logger"])
 
 
-def _downsample_seg(seg, s, num_classes: int):
+def _downsample_seg(seg, s, num_labels: int):
     """Majority-vote (mode) pool of int labels over per-axis windows.
 
     Replaces stride-slice decimation, which aliases away thin structures; the
@@ -481,11 +485,13 @@ def _downsample_seg(seg, s, num_classes: int):
     (nnUNet DS downsampling transform, ``nnUNetTrainer.py:673-795``). The -1
     outside-crop/ignore value votes as its own channel and wins only when it
     dominates the window. seg: (B, *spatial) int; s: int (isotropic 2D) or
-    per-axis tuple (3D)."""
+    per-axis tuple (3D). ``num_labels`` must cover the LARGEST label value
+    (region/ignore labels may exceed the network head count — an undersized
+    one-hot would silently drop their votes)."""
     if isinstance(s, int):
         s = (s,) * (seg.ndim - 1)
     window = (1,) + tuple(s) + (1,)
-    onehot = jax.nn.one_hot(seg + 1, num_classes + 1, dtype=jnp.float32)
+    onehot = jax.nn.one_hot(seg + 1, num_labels + 1, dtype=jnp.float32)
     pooled = jax.lax.reduce_window(onehot, 0.0, jax.lax.add,
                                    window, window, "VALID")
     return (jnp.argmax(pooled, axis=-1) - 1).astype(seg.dtype)
