@@ -31,11 +31,17 @@ fp = {
     "num_channels": 3,
     "foreground_intensity_properties_per_channel": {},
 }
+import os
+
 plan = plan_experiment(fp, num_classes=7)
+_b = os.environ.get("SEG_BENCH_BATCH")
+if _b:
+    import dataclasses as _dc
+
+    plan = _dc.replace(plan, batch_size=int(_b))
+
 print(f"plan: patch {plan.patch_size} batch {plan.batch_size} "
       f"features {plan.features_per_stage}", flush=True)
-
-import os
 
 mesh = make_mesh(MeshConfig())
 cfg = SegmentorTrainConfig()
