@@ -26,7 +26,8 @@ _MODE = "auto"  # "auto" | "xla" | "pallas" | "pallas_interpret"
 
 def set_attention_mode(mode: str) -> None:
     global _MODE
-    assert mode in ("auto", "xla", "pallas", "pallas_interpret"), mode
+    assert mode in ("auto", "xla", "pallas", "pallas_interpret",
+                    "pallas_kvgrid", "pallas_kvgrid_interpret"), mode
     _MODE = mode
 
 
@@ -98,6 +99,76 @@ def _flash_attention_bhsd(q, k, v, scale, block_q=512, block_k=1024, interpret=F
     )(q, k, v)
 
 
+def _flash_kvgrid_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+                         *, scale):
+    """Flash step with the KV dimension on the GRID (innermost, sequential):
+    softmax statistics and the output accumulator live in VMEM scratch that
+    persists across kv blocks of one (batch*head, q-block); the output block
+    is written once on the last kv step. Unlike ``_flash_kernel`` this never
+    holds the full KV in VMEM, so it covers large head dims (the VAE's
+    single-head d=512 attention, which otherwise falls back to XLA and
+    materializes the 4096² score matrix in HBM)."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    m_prev = m_scr[...]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    corr = jnp.exp(m_prev - m_new)
+    l_scr[...] = l_scr[...] * corr + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[...] = acc_scr[...] * corr + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_scr[...] = m_new
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        o_ref[0] = (acc_scr[...] / l_scr[...]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
+def _flash_attention_bhsd_kvgrid(q, k, v, scale, block_q=256, block_k=1024,
+                                 interpret=False):
+    """q,k,v: (BH, S, D), S % blocks == 0. VMEM per step is O(block_q*block_k
+    + block_q*D) regardless of S — use for large D where the resident-KV
+    kernel exceeds VMEM."""
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    grid = (bh, sq // block_q, sk // block_k)
+    return pl.pallas_call(
+        functools.partial(_flash_kvgrid_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
@@ -135,6 +206,20 @@ def _flash_bwd(scale, block_q, block_k, res, g):
 _flash_trainable.defvjp(_flash_fwd, _flash_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_kvgrid_trainable(q, k, v, scale, block_q, block_k):
+    return _flash_attention_bhsd_kvgrid(q, k, v, scale, block_q=block_q,
+                                        block_k=block_k)
+
+
+def _flash_kvgrid_fwd(q, k, v, scale, block_q, block_k):
+    return _flash_attention_bhsd_kvgrid(q, k, v, scale, block_q=block_q,
+                                        block_k=block_k), (q, k, v)
+
+
+_flash_kvgrid_trainable.defvjp(_flash_kvgrid_fwd, _flash_bwd)
+
+
 def dot_product_attention(q, k, v, scale=None):
     """Multi-head attention, (B, S, H, D) layout.
 
@@ -153,12 +238,35 @@ def dot_product_attention(q, k, v, scale=None):
         # VMEM estimate: double-buffered K+V blocks dominate; leave headroom
         # for Q/out blocks and fp32 accumulators
         kv_bytes = 2 * sk * dp * 2 * 2  # K+V, bf16, double-buffered
-        use_pallas = (on_tpu and sq % 256 == 0 and sk % 512 == 0 and sk >= 512
-                      and kv_bytes <= 11 * 1024 * 1024)
-        mode = "pallas" if use_pallas else "xla"
+        if on_tpu and sq % 256 == 0 and sk % 512 == 0 and sk >= 512:
+            if kv_bytes <= 11 * 1024 * 1024:
+                mode = "pallas"
+            elif sk % 1024 == 0 and dp <= 1024:
+                # KV too big for one residency (e.g. the VAE mid-block's
+                # single-head d=512 at 4096 tokens): kv-gridded kernel with
+                # scratch accumulators — XLA would materialize the full
+                # score matrix in HBM
+                mode = "pallas_kvgrid"
+            else:
+                mode = "xla"
+        else:
+            mode = "xla"
 
     if mode == "xla":
         return _xla_attention(q, k, v, scale)
+
+    if mode in ("pallas_kvgrid", "pallas_kvgrid_interpret"):
+        def to_bhsd(x, s):
+            return jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, s, d)
+
+        if mode == "pallas_kvgrid_interpret":
+            out = _flash_attention_bhsd_kvgrid(
+                to_bhsd(q, sq), to_bhsd(k, sk), to_bhsd(v, sk), float(scale),
+                interpret=True)
+        else:
+            out = _flash_kvgrid_trainable(to_bhsd(q, sq), to_bhsd(k, sk),
+                                          to_bhsd(v, sk), float(scale), 256, 1024)
+        return jnp.transpose(out.reshape(b, h, sq, d), (0, 2, 1, 3))
 
     interpret = mode == "pallas_interpret"
     # (B,S,H,D) -> (B*H, S, D). No HBM zero-pad of the head dim: Pallas

@@ -174,3 +174,27 @@ def test_flash_attention_backward_matches_xla_vjp():
                                     interpret=True)
     np.testing.assert_allclose(np.asarray(fwd), np.asarray(ref(q, k, v)),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_flash_kvgrid_matches_xla_interpret():
+    """KV-gridded flash (scratch-accumulator revisiting pattern, used for
+    large head dims like the VAE's single-head d=512) vs XLA."""
+    import jax
+    import jax.numpy as jnp
+
+    from ldiffusion_tpu.ops.attention import (
+        _flash_attention_bhsd_kvgrid,
+        _xla_attention,
+    )
+
+    rng = jax.random.PRNGKey(0)
+    q = jax.random.normal(rng, (2, 512, 256), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (2, 512, 256), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (2, 512, 256), jnp.float32)
+    scale = float(1.0 / np.sqrt(256))
+    got = _flash_attention_bhsd_kvgrid(q, k, v, scale, block_q=256,
+                                       block_k=256, interpret=True)
+    ref = _xla_attention(q[:, :, None, :], k[:, :, None, :], v[:, :, None, :],
+                         scale)[:, :, 0, :]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
