@@ -46,6 +46,10 @@ class AugmentConfig:
     p_gamma: float = 0.3
     gamma_range: tuple = (0.7, 1.5)
     p_mirror: float = 0.5
+    # spatial axes eligible for mirroring (reference mirror_axes; the
+    # nnUNetTrainer_onlyMirror01 variant restricts to the first two) — 2D
+    # patches use axes 0/1 regardless, 3D honors the restriction
+    mirror_axes: tuple = (0, 1, 2)
 
 
 def _affine_coords(h, w, angle, scale):
@@ -189,10 +193,12 @@ def _augment_one(key, data, seg, cfg: AugmentConfig):
 
     # ---- mirroring ----
     if cfg.p_mirror > 0:
-        data = jnp.where(u[9] < cfg.p_mirror, data[::-1], data)
-        seg = jnp.where(u[9] < cfg.p_mirror, seg[::-1], seg)
-        data = jnp.where(u[10] < cfg.p_mirror, data[:, ::-1], data)
-        seg = jnp.where(u[10] < cfg.p_mirror, seg[:, ::-1], seg)
+        if 0 in cfg.mirror_axes:
+            data = jnp.where(u[9] < cfg.p_mirror, data[::-1], data)
+            seg = jnp.where(u[9] < cfg.p_mirror, seg[::-1], seg)
+        if 1 in cfg.mirror_axes:
+            data = jnp.where(u[10] < cfg.p_mirror, data[:, ::-1], data)
+            seg = jnp.where(u[10] < cfg.p_mirror, seg[:, ::-1], seg)
     return data, seg
 
 
@@ -215,6 +221,8 @@ def augment_batch_3d(key, data, seg, cfg: AugmentConfig = AugmentConfig()):
     def one(k, d, s):
         ks = jax.random.split(k, 5)
         for ax, kk in zip(range(3), ks[:3]):
+            if ax not in cfg.mirror_axes:
+                continue  # onlyMirror01-style axis restriction (static)
             flip = jax.random.bernoulli(kk, cfg.p_mirror)
             d = jnp.where(flip, jnp.flip(d, axis=ax), d)
             s = jnp.where(flip, jnp.flip(s, axis=ax), s)
@@ -242,12 +250,16 @@ class HostSpatialAugmenter:
     prefetcher. Pair with a device AugmentConfig whose spatial probabilities
     are zeroed (``SegmentorTrainer`` does this automatically)."""
 
-    def __init__(self, cfg: AugmentConfig, seed: int = 0, n_threads: int = 4):
+    def __init__(self, cfg: AugmentConfig, seed: int = 0, n_threads: int = 4,
+                 data_order: int = 1):
         import numpy as np
 
         self.cfg = cfg
         self.rng = np.random.default_rng(seed)
         self.n_threads = n_threads
+        # 0 = nearest data resampling (nnUNetTrainerDAOrd0's
+        # order_resampling_data=0); 1 = bilinear (default)
+        self.data_order = data_order
 
     def __call__(self, data, seg):
         import numpy as np
@@ -272,8 +284,10 @@ class HostSpatialAugmenter:
         data = np.ascontiguousarray(data, np.float32)
         seg16 = np.ascontiguousarray(seg, np.int16)
         out = affine_augment_batch_native(data, seg16, angles, scales, apply,
-                                          n_threads=self.n_threads)
+                                          n_threads=self.n_threads,
+                                          data_order=self.data_order)
         if out is None:
-            out = affine_augment_batch_numpy(data, seg16, angles, scales, apply)
+            out = affine_augment_batch_numpy(data, seg16, angles, scales, apply,
+                                             data_order=self.data_order)
         d, s = out
         return d, s.astype(seg.dtype)

@@ -6,7 +6,10 @@ Behavioral contract: ``nnUNetDataLoader2D/3D`` (reference
 ``round(batch*oversample)`` elements of each batch are forced to contain a
 randomly-chosen present foreground class (patch centered on one of its
 sampled locations); crops are padded with 0 (data) / -1 (seg) when the bbox
-leaves the case. Spatial rank comes from ``len(patch_size)`` — the same
+leaves the case. The -1 seg padding is mapped to BACKGROUND by the trainer
+(``RemoveLabelTransform(-1, 0)`` semantics, reference
+``nnUNetTrainer.py:733``) — it marks out-of-case pixels only until the DA
+stack has run. Spatial rank comes from ``len(patch_size)`` — the same
 sampler is the 2D and the 3D loader.
 
 Host-side numpy (cheap gather/copy); batches stream to device where
@@ -44,15 +47,34 @@ def _crop_with_pad(data: np.ndarray, seg: np.ndarray, lb: Sequence[int],
 
 class PatchSampler:
     def __init__(self, dataset: "PreprocessedDataset", patch_size: Sequence[int],
-                 batch_size: int, oversample_fg: float = 0.33, seed: int = 0):
+                 batch_size: int, oversample_fg: float = 0.33, seed: int = 0,
+                 probabilistic_oversampling: bool = False):
+        """probabilistic_oversampling: per-sample bernoulli instead of the
+        positional last-k-of-batch rule (reference
+        ``variants/sampling/nnUNetTrainer_probabilisticOversampling.py``:
+        ``probabilistic_oversampling=True`` in the dataloader, with the base
+        class converting the positional rule to its effective percentage)."""
         self.ds = dataset
         self.keys = dataset.keys()
         self.patch = tuple(patch_size)
         self.batch = batch_size
         self.oversample = oversample_fg
+        self.probabilistic = probabilistic_oversampling
         self.rng = np.random.default_rng(seed)
 
+    @staticmethod
+    def effective_oversample_percent(batch_size: int, oversample_fg: float) -> float:
+        """The positional rule's realized fg fraction (reference
+        ``nnUNetTrainer_probabilisticOversampling.__init__``: mean over batch
+        positions of ``not i < round(bs * (1 - p))`` — e.g. bs=2, p=0.33 →
+        0.5)."""
+        return float(np.mean([
+            not i < round(batch_size * (1.0 - oversample_fg))
+            for i in range(batch_size)]))
+
     def _must_be_fg(self, idx_in_batch: int) -> bool:
+        if self.probabilistic:
+            return bool(self.rng.random() < self.oversample)
         # reference base_data_loader.py:45-53
         return idx_in_batch >= round(self.batch * (1.0 - self.oversample))
 

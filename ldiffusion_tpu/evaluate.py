@@ -251,16 +251,36 @@ if __name__ == "__main__":
     main()
 
 
+def _region_mask(seg: np.ndarray, region_or_label) -> np.ndarray:
+    """reference ``evaluate_predictions.py:region_or_label_to_mask``."""
+    if isinstance(region_or_label, (tuple, list)):
+        return np.isin(seg, np.asarray(region_or_label))
+    return seg == region_or_label
+
+
 def compute_metrics_on_folder(pred_dir: str, gt_dir: str, num_classes: int,
                               level: Optional[str] = None,
-                              output_file: Optional[str] = None) -> Dict:
+                              output_file: Optional[str] = None,
+                              regions_or_labels=None,
+                              ignore_label: Optional[int] = None) -> Dict:
     """nnUNet-format validation summary (reference
     ``evaluation/evaluate_predictions.py:77-264``): per-case tp/fp/fn/tn →
     Dice/IoU per label, case means, and ``foreground_mean``; written to
-    ``summary.json``."""
+    ``summary.json``.
+
+    ``regions_or_labels``: list of label ints and/or region tuples — when
+    given the summary scores each entry by set-membership masks (the regions
+    regime on PAINTED predictions) with GT ``ignore_label`` pixels excluded
+    (reference ``compute_tp_fp_fn_tn`` ignore_mask, ``:77-120``). When None
+    the plain per-class confusion-matrix path is used.
+    """
     preds = sorted(f for f in os.listdir(pred_dir) if f.lower().endswith(".png"))
     gts = sorted(f for f in os.listdir(gt_dir) if f.lower().endswith(".png"))
     assert len(preds) == len(gts)
+    if regions_or_labels is not None:
+        return _compute_region_metrics(pred_dir, gt_dir, preds, gts, level,
+                                       regions_or_labels, ignore_label,
+                                       output_file)
     metric_per_case = []
     total_cm = np.zeros((num_classes, num_classes), np.int64)
     for pf, gf in zip(preds, gts):
@@ -300,6 +320,55 @@ def compute_metrics_on_folder(pred_dir: str, gt_dir: str, num_classes: int,
         "metric_per_case": metric_per_case,
         "mean": mean,
         "foreground_mean": {"Dice": float(np.mean(fg_dice)) if fg_dice else float("nan")},
+    }
+    if output_file:
+        os.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)
+        with open(output_file, "w") as f:
+            json.dump(summary, f, indent=2)
+    return summary
+
+
+def _compute_region_metrics(pred_dir, gt_dir, preds, gts, level,
+                            regions_or_labels, ignore_label, output_file):
+    """Per-entry (label int or region tuple) mask-based metrics with ignore
+    masking (reference ``evaluate_predictions.py:77-176``)."""
+    metric_per_case = []
+    for pf, gf in zip(preds, gts):
+        pred = _load_mask(os.path.join(pred_dir, pf), level, level is not None)
+        gt = _load_mask(os.path.join(gt_dir, gf), level, level is not None)
+        use = np.ones(gt.shape, bool) if ignore_label is None \
+            else gt != ignore_label
+        metrics = {}
+        for r in regions_or_labels:
+            mr = _region_mask(gt, r)
+            mp = _region_mask(pred, r)
+            tp = float(np.sum(mr & mp & use))
+            fp = float(np.sum(~mr & mp & use))
+            fn = float(np.sum(mr & ~mp & use))
+            tn = float(np.sum(~mr & ~mp & use))
+            denom = 2 * tp + fp + fn
+            metrics[str(r)] = {
+                "Dice": float(2 * tp / denom) if denom > 0 else float("nan"),
+                "IoU": float(tp / (tp + fp + fn))
+                       if (tp + fp + fn) > 0 else float("nan"),
+                "TP": tp, "FP": fp, "FN": fn, "TN": tn,
+                "n_pred": tp + fp, "n_ref": tp + fn,
+            }
+        metric_per_case.append({"prediction_file": pf, "reference_file": gf,
+                                "metrics": metrics})
+    mean: Dict[str, Dict[str, float]] = {}
+    for r in regions_or_labels:
+        mean[str(r)] = {}
+        for key in ("Dice", "IoU"):
+            vals = [m["metrics"][str(r)][key] for m in metric_per_case]
+            vals = [v for v in vals if not np.isnan(v)]
+            mean[str(r)][key] = float(np.mean(vals)) if vals else float("nan")
+    fg = [mean[str(r)]["Dice"] for r in regions_or_labels
+          if not np.isnan(mean[str(r)]["Dice"])]
+    summary = {
+        "metric_per_case": metric_per_case,
+        "mean": mean,
+        "foreground_mean": {"Dice": float(np.mean(fg)) if fg else float("nan")},
     }
     if output_file:
         os.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)

@@ -76,16 +76,24 @@ def robust_cross_entropy(logits, targets, loss_mask=None, ignore_index: Optional
     return jnp.sum(nll * valid) / jnp.clip(jnp.sum(valid), 1.0)
 
 
-def topk_cross_entropy(logits, targets, k_percent: float = 10.0, ignore_index=None):
+def topk_cross_entropy(logits, targets, k_percent: float = 10.0, ignore_index=None,
+                       label_smoothing: float = 0.0):
     """TopK CE (reference ``robust_ce_loss.py:18-31``): mean over the hardest
-    k% pixels."""
+    k% pixels. ``label_smoothing`` implements the Topk10LossLS01 variant
+    (torch CrossEntropyLoss(label_smoothing=0.1) inside TopKLoss, reference
+    ``variants/loss/nnUNetTrainerTopkLoss.py``)."""
     c = logits.shape[-1]
     valid = jnp.ones(targets.shape, jnp.float32)
     if ignore_index is not None:
         valid = valid * (targets != ignore_index)
     safe_t = jnp.clip(targets, 0, c - 1)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = (-jnp.take_along_axis(logp, safe_t[..., None], axis=-1)[..., 0] * valid).reshape(-1)
+    nll = -jnp.take_along_axis(logp, safe_t[..., None], axis=-1)[..., 0]
+    if label_smoothing > 0.0:
+        # torch semantics: (1-eps)*nll + eps*mean_c(-logp)
+        nll = (1.0 - label_smoothing) * nll \
+            - label_smoothing * jnp.mean(logp, axis=-1)
+    nll = (nll * valid).reshape(-1)
     k = max(1, int(nll.size * k_percent / 100.0))
     topk, _ = jax.lax.top_k(nll, k)
     return jnp.mean(topk)

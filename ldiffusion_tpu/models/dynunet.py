@@ -32,6 +32,12 @@ class DynUNetConfig:
     deep_supervision: bool = True
     norm_eps: float = 1e-5
     negative_slope: float = 0.01
+    # "instance" (nnUNet default) or "batch" (the nnUNetTrainerBN variant,
+    # reference variants/network_architecture/nnUNetTrainerBN.py — swaps
+    # every norm_op for BatchNorm, eps 1e-5, affine). BatchNorm adds a
+    # "batch_stats" collection (running mean/var) that the trainer threads
+    # through train steps and checkpoints.
+    norm: str = "instance"
     # "plain": [conv-IN-lrelu]xN stages (PlainConvUNet). "residual": encoder
     # stages are BasicBlockD residual blocks (ResidualEncoderUNet, reference
     # ``experiment_planning/experiment_planners/resencUNet_planner.py`` /
@@ -76,23 +82,35 @@ class InstanceNorm(nn.Module):
         return y * scale.astype(y.dtype) + bias.astype(y.dtype)
 
 
+def _norm_layer(kind: str, name: str, eps, dtype, param_dtype, train: bool):
+    """InstanceNorm (default) or BatchNorm (nnUNetTrainerBN). BatchNorm uses
+    torch defaults: momentum 0.1 (flax momentum = 1 - 0.1 = 0.9), running
+    stats at eval."""
+    if kind == "batch":
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=eps, dtype=dtype, param_dtype=param_dtype,
+                            name=name)
+    return InstanceNorm(eps, dtype=dtype, param_dtype=param_dtype, name=name)
+
+
 class ConvBlock(nn.Module):
     features: int
     stride: int = 1
     kernel_size: int = 3
     eps: float = 1e-5
     negative_slope: float = 0.01
+    norm: str = "instance"
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = True):
         k = self.kernel_size
         x = nn.Conv(self.features, (k, k), strides=(self.stride, self.stride),
                     padding=k // 2, dtype=self.dtype, param_dtype=self.param_dtype,
                     name="conv")(x)
-        x = InstanceNorm(self.eps, dtype=self.dtype, param_dtype=self.param_dtype,
-                         name="norm")(x)
+        x = _norm_layer(self.norm, "norm", self.eps, self.dtype,
+                        self.param_dtype, train)(x)
         return nn.leaky_relu(x, self.negative_slope)
 
 
@@ -107,17 +125,18 @@ class ResidualBlock(nn.Module):
     kernel_size: int = 3
     eps: float = 1e-5
     negative_slope: float = 0.01
+    norm: str = "instance"
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = True):
         k = self.kernel_size
         conv = lambda name, stride: nn.Conv(
             self.features, (k, k), strides=(stride, stride), padding=k // 2,
             dtype=self.dtype, param_dtype=self.param_dtype, name=name)
-        norm = lambda name: InstanceNorm(self.eps, dtype=self.dtype,
-                                         param_dtype=self.param_dtype, name=name)
+        norm = lambda name: _norm_layer(self.norm, name, self.eps, self.dtype,
+                                        self.param_dtype, train)
         h = nn.leaky_relu(norm("norm1")(conv("conv1", self.stride)(x)),
                           self.negative_slope)
         h = norm("norm2")(conv("conv2", 1)(h))
@@ -125,9 +144,7 @@ class ResidualBlock(nn.Module):
             x = nn.Conv(self.features, (1, 1), strides=(self.stride, self.stride),
                         dtype=self.dtype, param_dtype=self.param_dtype,
                         name="downsample_conv")(x)
-            x = InstanceNorm(self.eps, dtype=self.dtype,
-                             param_dtype=self.param_dtype,
-                             name="downsample_norm")(x)
+            x = norm("downsample_norm")(x)
         return nn.leaky_relu(h + x, self.negative_slope)
 
 
@@ -147,8 +164,8 @@ class DynUNet(nn.Module):
         convention) or a single array when deep_supervision is off."""
         cfg = self.config
         common = dict(kernel_size=cfg.kernel_size, eps=cfg.norm_eps,
-                      negative_slope=cfg.negative_slope, dtype=self.dtype,
-                      param_dtype=self.param_dtype)
+                      negative_slope=cfg.negative_slope, norm=cfg.norm,
+                      dtype=self.dtype, param_dtype=self.param_dtype)
         x = x.astype(self.dtype)
 
         skips: List[jax.Array] = []
@@ -157,16 +174,17 @@ class DynUNet(nn.Module):
             for s in range(cfg.n_stages):
                 feats = cfg.features_per_stage[s]
                 x = ResidualBlock(feats, stride=cfg.strides[s],
-                                  name=f"enc_{s}_0", **common)(x)
+                                  name=f"enc_{s}_0", **common)(x, train)
                 for c in range(1, blocks[s]):
-                    x = ResidualBlock(feats, name=f"enc_{s}_{c}", **common)(x)
+                    x = ResidualBlock(feats, name=f"enc_{s}_{c}", **common)(x, train)
                 skips.append(x)
         else:
             for s in range(cfg.n_stages):
                 feats = cfg.features_per_stage[s]
-                x = ConvBlock(feats, stride=cfg.strides[s], name=f"enc_{s}_0", **common)(x)
+                x = ConvBlock(feats, stride=cfg.strides[s],
+                              name=f"enc_{s}_0", **common)(x, train)
                 for c in range(1, cfg.n_conv_per_stage):
-                    x = ConvBlock(feats, name=f"enc_{s}_{c}", **common)(x)
+                    x = ConvBlock(feats, name=f"enc_{s}_{c}", **common)(x, train)
                 skips.append(x)
 
         seg_outputs: List[jax.Array] = []
@@ -177,9 +195,9 @@ class DynUNet(nn.Module):
                                  dtype=self.dtype, param_dtype=self.param_dtype,
                                  name=f"up_{d}")(x)
             x = jnp.concatenate([x, skips[d]], axis=-1)
-            x = ConvBlock(feats, name=f"dec_{d}_0", **common)(x)
+            x = ConvBlock(feats, name=f"dec_{d}_0", **common)(x, train)
             for c in range(1, cfg.n_conv_per_stage):
-                x = ConvBlock(feats, name=f"dec_{d}_{c}", **common)(x)
+                x = ConvBlock(feats, name=f"dec_{d}_{c}", **common)(x, train)
             if cfg.deep_supervision or d == 0:
                 seg = nn.Conv(cfg.num_classes, (1, 1), dtype=self.dtype,
                               param_dtype=self.param_dtype, name=f"seg_{d}")(x)

@@ -30,13 +30,21 @@ _lib_failed = False
 def _build() -> Optional[str]:
     if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
         return _SO
+    # compile to a pid-unique temp path: concurrent processes that both miss
+    # the cache must not interleave writes into one .tmp before the atomic
+    # publish (os.replace)
+    tmp = f"{_SO}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-           _SRC, "-o", _SO + ".tmp"]
+           _SRC, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(_SO + ".tmp", _SO)
+        os.replace(tmp, _SO)
         return _SO
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
 
 
@@ -131,6 +139,7 @@ def _bind_affine(lib):
         ctypes.POINTER(ctypes.c_float),    # out_data
         ctypes.POINTER(ctypes.c_int16),    # out_seg
         ctypes.c_int64,                    # n_threads
+        ctypes.c_int64,                    # data_order (1 bilinear, 0 nearest)
     ]
     lib.affine_augment_batch.restype = None
     lib._affine_bound = True
@@ -138,11 +147,13 @@ def _bind_affine(lib):
 
 def affine_augment_batch_native(data: np.ndarray, seg: np.ndarray,
                                 angles: np.ndarray, scales: np.ndarray,
-                                apply: np.ndarray, n_threads: int = 4):
+                                apply: np.ndarray, n_threads: int = 4,
+                                data_order: int = 1):
     """Host-side rotation+scale (the batchgenerators SpatialTransform analog;
     reference ``nnUNetTrainer.py:673-795`` runs it in CPU workers). Math
     matches ``data/augment.py:_affine_coords``: inverse map about the patch
-    center, bilinear/zero-border data, nearest/zero-border seg.
+    center, bilinear/zero-border data (nearest when ``data_order=0`` — the
+    nnUNetTrainerDAOrd0 variant), nearest/zero-border seg.
 
     data: (B, H, W, C) float32 contiguous; seg: (B, H, W) int16 contiguous.
     Returns transformed copies, or None when the library is unavailable.
@@ -171,11 +182,13 @@ def affine_augment_batch_native(data: np.ndarray, seg: np.ndarray,
         out_data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         out_seg.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         n_threads,
+        data_order,
     )
     return out_data, out_seg
 
 
-def affine_augment_batch_numpy(data, seg, angles, scales, apply):
+def affine_augment_batch_numpy(data, seg, angles, scales, apply,
+                               data_order: int = 1):
     """Pure-numpy fallback implementing the same math (vectorized)."""
     B, H, W, C = data.shape
     out_d = data.copy()
@@ -189,19 +202,24 @@ def affine_augment_batch_numpy(data, seg, angles, scales, apply):
         cosv, sinv = np.cos(angles[b]), np.sin(angles[b])
         sy = (cosv * y + sinv * x) / scales[b] + cy
         sx = (-sinv * y + cosv * x) / scales[b] + cx
-        y0 = np.floor(sy).astype(np.int64)
-        x0 = np.floor(sx).astype(np.int64)
-        fy, fx = sy - y0, sx - x0
-        acc = np.zeros((H, W, C), np.float64)
-        for dy, dx, w in ((0, 0, (1 - fy) * (1 - fx)), (0, 1, (1 - fy) * fx),
-                          (1, 0, fy * (1 - fx)), (1, 1, fy * fx)):
-            yi, xi = y0 + dy, x0 + dx
-            ok = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
-            vals = data[b][np.clip(yi, 0, H - 1), np.clip(xi, 0, W - 1)]
-            acc += (w * ok)[..., None] * vals
-        out_d[b] = acc.astype(np.float32)
         ry = np.round(sy).astype(np.int64)
         rx = np.round(sx).astype(np.int64)
+        if data_order == 0:
+            ok = (ry >= 0) & (ry < H) & (rx >= 0) & (rx < W)
+            vals = data[b][np.clip(ry, 0, H - 1), np.clip(rx, 0, W - 1)]
+            out_d[b] = np.where(ok[..., None], vals, 0.0).astype(np.float32)
+        else:
+            y0 = np.floor(sy).astype(np.int64)
+            x0 = np.floor(sx).astype(np.int64)
+            fy, fx = sy - y0, sx - x0
+            acc = np.zeros((H, W, C), np.float64)
+            for dy, dx, w in ((0, 0, (1 - fy) * (1 - fx)), (0, 1, (1 - fy) * fx),
+                              (1, 0, fy * (1 - fx)), (1, 1, fy * fx)):
+                yi, xi = y0 + dy, x0 + dx
+                ok = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+                vals = data[b][np.clip(yi, 0, H - 1), np.clip(xi, 0, W - 1)]
+                acc += (w * ok)[..., None] * vals
+            out_d[b] = acc.astype(np.float32)
         ok = (ry >= 0) & (ry < H) & (rx >= 0) & (rx < W)
         out_s[b] = np.where(ok, seg[b][np.clip(ry, 0, H - 1),
                                        np.clip(rx, 0, W - 1)], 0).astype(seg.dtype)

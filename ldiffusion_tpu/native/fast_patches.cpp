@@ -146,12 +146,14 @@ void crop_with_pad_batch(const float** datas, const int16_t** segs,
 
 extern "C" {
 
+// data_order: 1 = bilinear (default), 0 = nearest (the nnUNetTrainerDAOrd0
+// variant's order_resampling_data=0).
 void affine_augment_batch(const float** datas, const int16_t** segs,
                           int64_t B, int64_t H, int64_t W, int64_t C,
                           const double* angles, const double* scales,
                           const uint8_t* apply,
                           float* out_data, int16_t* out_seg,
-                          int64_t n_threads) {
+                          int64_t n_threads, int64_t data_order) {
     const int64_t img_elems = H * W * C;
     const int64_t seg_elems = H * W;
 
@@ -176,31 +178,38 @@ void affine_augment_batch(const float** datas, const int16_t** segs,
                     const double sy = (cosv * y + sinv * x) * inv_s + cy;
                     const double sx = (-sinv * y + cosv * x) * inv_s + cx;
                     float* po = dout + (i * W + j) * C;
-                    // bilinear, zero outside
-                    const int64_t y0 = (int64_t)std::floor(sy);
-                    const int64_t x0 = (int64_t)std::floor(sx);
-                    const double fy = sy - y0, fx = sx - x0;
-                    const double w00 = (1 - fy) * (1 - fx), w01 = (1 - fy) * fx;
-                    const double w10 = fy * (1 - fx), w11 = fy * fx;
-                    for (int64_t c = 0; c < C; ++c) {
-                        double acc = 0.0;
-                        if (y0 >= 0 && y0 < H) {
-                            if (x0 >= 0 && x0 < W)
-                                acc += w00 * din[(y0 * W + x0) * C + c];
-                            if (x0 + 1 >= 0 && x0 + 1 < W)
-                                acc += w01 * din[(y0 * W + x0 + 1) * C + c];
-                        }
-                        if (y0 + 1 >= 0 && y0 + 1 < H) {
-                            if (x0 >= 0 && x0 < W)
-                                acc += w10 * din[((y0 + 1) * W + x0) * C + c];
-                            if (x0 + 1 >= 0 && x0 + 1 < W)
-                                acc += w11 * din[((y0 + 1) * W + x0 + 1) * C + c];
-                        }
-                        po[c] = (float)acc;
-                    }
-                    // nearest for labels, zero outside
                     const int64_t ry = (int64_t)std::llround(sy);
                     const int64_t rx = (int64_t)std::llround(sx);
+                    if (data_order == 0) {
+                        // nearest, zero outside
+                        const bool in = (ry >= 0 && ry < H && rx >= 0 && rx < W);
+                        for (int64_t c = 0; c < C; ++c)
+                            po[c] = in ? din[(ry * W + rx) * C + c] : 0.0f;
+                    } else {
+                        // bilinear, zero outside
+                        const int64_t y0 = (int64_t)std::floor(sy);
+                        const int64_t x0 = (int64_t)std::floor(sx);
+                        const double fy = sy - y0, fx = sx - x0;
+                        const double w00 = (1 - fy) * (1 - fx), w01 = (1 - fy) * fx;
+                        const double w10 = fy * (1 - fx), w11 = fy * fx;
+                        for (int64_t c = 0; c < C; ++c) {
+                            double acc = 0.0;
+                            if (y0 >= 0 && y0 < H) {
+                                if (x0 >= 0 && x0 < W)
+                                    acc += w00 * din[(y0 * W + x0) * C + c];
+                                if (x0 + 1 >= 0 && x0 + 1 < W)
+                                    acc += w01 * din[(y0 * W + x0 + 1) * C + c];
+                            }
+                            if (y0 + 1 >= 0 && y0 + 1 < H) {
+                                if (x0 >= 0 && x0 < W)
+                                    acc += w10 * din[((y0 + 1) * W + x0) * C + c];
+                                if (x0 + 1 >= 0 && x0 + 1 < W)
+                                    acc += w11 * din[((y0 + 1) * W + x0 + 1) * C + c];
+                            }
+                            po[c] = (float)acc;
+                        }
+                    }
+                    // nearest for labels, zero outside
                     sout[i * W + j] =
                         (ry >= 0 && ry < H && rx >= 0 && rx < W)
                             ? sin_[ry * W + rx] : (int16_t)0;

@@ -16,7 +16,18 @@ from PIL import Image
 from ldiffusion_tpu.segmentor.resample import resample_logits
 
 
-def logits_to_segmentation(logits: np.ndarray, properties: Optional[Dict] = None) -> np.ndarray:
+def _logits_to_seg(logits: np.ndarray, label_manager=None) -> np.ndarray:
+    """Apply the regime's inference nonlin + conversion (reference
+    ``export_prediction.py:25-38`` → ``label_handling.py:128-176``): regions
+    paint in regions_class_order at sigmoid > 0.5; plain regimes map argmax
+    through label values; no label manager → raw argmax."""
+    if label_manager is not None:
+        return label_manager.convert_logits_to_segmentation(logits).astype(np.uint8)
+    return np.argmax(logits, axis=-1).astype(np.uint8)
+
+
+def logits_to_segmentation(logits: np.ndarray, properties: Optional[Dict] = None,
+                           label_manager=None) -> np.ndarray:
     """logits: (H, W, C) on the cropped grid; properties carries bbox +
     original_shape (from preprocessing). Returns (H_orig, W_orig) uint8."""
     if properties:
@@ -24,7 +35,7 @@ def logits_to_segmentation(logits: np.ndarray, properties: Optional[Dict] = None
         crop_shape = (bbox[0][1] - bbox[0][0], bbox[1][1] - bbox[1][0])
         if tuple(logits.shape[:2]) != tuple(crop_shape):
             logits = resample_logits(logits, crop_shape)
-    seg = np.argmax(logits, axis=-1).astype(np.uint8)
+    seg = _logits_to_seg(logits, label_manager)
     if properties:
         out = np.zeros(tuple(properties["original_shape"]), np.uint8)
         bbox = properties["bbox"]
@@ -37,17 +48,23 @@ def save_segmentation_png(seg: np.ndarray, path: str):
     Image.fromarray(seg.astype(np.uint8)).save(path)
 
 
-def save_probabilities_npz(logits: np.ndarray, path: str):
+def save_probabilities_npz(logits: np.ndarray, path: str, label_manager=None):
     """Analog of --save_probabilities (reference
-    ``export_prediction.py:109-121``): softmax probabilities to npz."""
-    x = logits - logits.max(axis=-1, keepdims=True)
-    e = np.exp(x)
-    probs = e / e.sum(axis=-1, keepdims=True)
+    ``export_prediction.py:109-121``): probabilities under the regime's
+    inference nonlin (sigmoid per region channel for the regions regime,
+    softmax otherwise) to npz."""
+    if label_manager is not None:
+        probs = label_manager.apply_inference_nonlin(logits)
+    else:
+        x = logits - logits.max(axis=-1, keepdims=True)
+        e = np.exp(x)
+        probs = e / e.sum(axis=-1, keepdims=True)
     np.savez_compressed(path, probabilities=probs.astype(np.float16))
 
 
 def export_volume_prediction(logits: np.ndarray, properties: Dict,
-                             path: str, reader_writer=None) -> np.ndarray:
+                             path: str, reader_writer=None,
+                             label_manager=None) -> np.ndarray:
     """3D export (reference ``inference/export_prediction.py:15-106`` for
     volumes): linear-resample logits back to the pre-resample shape
     (separate-z aware), argmax, revert the crop bbox, write through the
@@ -65,7 +82,7 @@ def export_volume_prediction(logits: np.ndarray, properties: Dict,
     cropped_shape = tuple(b[1] - b[0] for b in bbox)
     if tuple(logits.shape[:3]) != cropped_shape:
         logits = resample_data_3d(logits, cropped_shape, tgt, order=1)
-    seg = np.argmax(logits, axis=-1).astype(np.uint8)
+    seg = _logits_to_seg(logits, label_manager)
     full = np.zeros(tuple(properties["original_shape"]), np.uint8)
     full[tuple(slice(b[0], b[1]) for b in bbox)] = seg
     if reader_writer is not None:

@@ -79,6 +79,20 @@ class LabelManager:
     def regions(self) -> List[Tuple[int, ...]]:
         return list(self._regions)
 
+    @property
+    def foreground_regions(self) -> List[Tuple[int, ...]]:
+        """Region tuples for evaluation (reference ``label_handling.py``
+        ``foreground_regions`` — used by ``compute_metrics_on_folder2``)."""
+        return list(self._regions)
+
+    @property
+    def labels_or_regions_for_eval(self):
+        """What the validation summary scores per entry: region tuples for
+        the regions regime, foreground label ints otherwise (reference
+        ``evaluate_predictions.py:compute_metrics_on_folder2``)."""
+        return self.foreground_regions if self.has_regions \
+            else self.foreground_labels
+
     # ------------------------------------------------------------------
     def apply_inference_nonlin(self, logits: np.ndarray) -> np.ndarray:
         """(H, W, C) logits → probabilities (sigmoid for regions, softmax

@@ -64,7 +64,10 @@ class SegPlan3D:
     next_stage: Optional[str] = None
 
     def network_config(self) -> DynUNet3DConfig:
-        extra = self.num_classes if self.previous_stage else 0
+        # cascade input widens by the FOREGROUND labels only (reference
+        # label_handling.py:296-297 determine_num_input_channels appends
+        # len(foreground_labels) channels — background is not one-hotted)
+        extra = self.num_classes - 1 if self.previous_stage else 0
         return DynUNet3DConfig(
             in_channels=self.in_channels + extra,
             num_classes=self.num_classes,
@@ -172,11 +175,16 @@ def plan_experiment_3d(fingerprint: Dict, num_classes: int,
     act_scale = 2.3 if resenc else 1.0
     median_shape, target, shapes, spacings = _median_fingerprint_3d(fingerprint)
     in_ch = int(fingerprint.get("num_channels", 1))
+    vox_scale = 1.0  # dataset-voxel rescale for the 5% batch cap below
     if spacing_override is not None:
         scale = np.asarray(target) / np.asarray(spacing_override)
         median_shape = tuple(max(MIN_EDGE, int(round(m * s)))
                              for m, s in zip(median_shape, scale))
         target = tuple(float(s) for s in spacing_override)
+        # the dataset voxel count shrinks with the coarser spacing; without
+        # this the 3d_lowres batch cap is computed against fullres voxels
+        # (the reference recomputes dataset voxels at the new spacing)
+        vox_scale = float(np.prod(scale))
 
     patch = tuple(min(m, 256) for m in median_shape)
     features, strides, kernels, patch = _topology_3d(patch, target)
@@ -191,7 +199,7 @@ def plan_experiment_3d(fingerprint: Dict, num_classes: int,
     per_sample = act_scale * _estimate_bytes_3d(patch, features, strides,
                                                 in_ch, num_classes)
     batch = max(MIN_BATCH, int(hbm_budget / per_sample))
-    total_vox = float(np.sum(np.prod(shapes, axis=1)))
+    total_vox = float(np.sum(np.prod(shapes, axis=1))) * vox_scale
     cap = max(MIN_BATCH, int(round(0.05 * total_vox / float(np.prod(patch)))))
     batch = min(batch, cap)
     if max_batch:

@@ -67,11 +67,20 @@ def gaussian_importance_map(patch: Tuple[int, int], sigma_scale: float = 1.0 / 8
 
 class SlidingWindowPredictor:
     def __init__(self, plan, params, use_gaussian: bool = True,
-                 use_mirroring: bool = True, dtype=jnp.bfloat16):
+                 use_mirroring: bool = True, dtype=jnp.bfloat16,
+                 label_manager=None):
         """plan: SegPlan (2D) or SegPlan3D — the same scan-tiled program
         drives both (the 3D analog of the reference's
-        ``data_loader_3d``-fed predictor)."""
+        ``data_loader_3d``-fed predictor).
+
+        label_manager: a ``segmentor.label_manager.LabelManager``; when given,
+        ``predict`` routes through its inference nonlinearity + segmentation
+        conversion (sigmoid + regions_class_order painting for the regions
+        regime; softmax + label-value mapping otherwise) instead of raw
+        argmax — reference ``predict_from_raw_data.py:459-494`` →
+        ``export_prediction.py:15-106`` → ``label_handling.py:128-176``."""
         self.plan = plan
+        self.label_manager = label_manager
         self.nd = len(plan.patch_size)
         if self.nd == 3:
             from ldiffusion_tpu.models.dynunet3d import DynUNet3D
@@ -79,6 +88,8 @@ class SlidingWindowPredictor:
             self.net = DynUNet3D(plan.network_config(), dtype=dtype)
         else:
             self.net = DynUNet(plan.network_config(), dtype=dtype)
+        # each entry is either a raw param tree or a variables dict
+        # {"params": ..., "batch_stats": ...} (BN nets — nnUNetTrainerBN)
         self.params_list = params if isinstance(params, (list, tuple)) else [params]
         self.use_gaussian = use_gaussian
         self.use_mirroring = use_mirroring
@@ -90,7 +101,14 @@ class SlidingWindowPredictor:
         (reference ``predict_from_raw_data.py:459-494``)."""
         from ldiffusion_tpu.core.checkpoint import load_pytree
 
-        params = [load_pytree(p)["params"] for p in paths]
+        params = []
+        for p in paths:
+            ck = load_pytree(p)
+            if ck.get("batch_stats"):  # BN net: running stats ride along
+                params.append({"params": ck["params"],
+                               "batch_stats": ck["batch_stats"]})
+            else:
+                params.append(ck["params"])
         return cls(plan, params, **kw)
 
     # -- jitted core --------------------------------------------------------
@@ -100,8 +118,11 @@ class SlidingWindowPredictor:
         4 in 2D, 8 in 3D)."""
         import itertools
 
+        variables = params if (isinstance(params, dict) and "params" in params) \
+            else {"params": params}
+
         def fwd(x):
-            return self.net.apply({"params": params}, x, train=False)
+            return self.net.apply(variables, x, train=False)
 
         logits = fwd(tile)
         if self.use_mirroring:
@@ -176,5 +197,23 @@ class SlidingWindowPredictor:
         return out[tuple(slice(0, s) for s in shape)]
 
     def predict(self, image: np.ndarray, normalize: bool = True) -> np.ndarray:
-        """→ (*spatial) argmax class map."""
-        return np.argmax(self.predict_logits(image, normalize), axis=-1).astype(np.uint8)
+        """→ (*spatial) segmentation. With a label manager this applies the
+        regime's inference nonlin + conversion (regions paint in
+        regions_class_order where sigmoid > 0.5; plain maps argmax through
+        label VALUES); without one it is plain argmax."""
+        logits = self.predict_logits(image, normalize)
+        if self.label_manager is not None:
+            return self.label_manager.convert_logits_to_segmentation(logits)
+        return np.argmax(logits, axis=-1).astype(np.uint8)
+
+    def predict_probabilities(self, image: np.ndarray,
+                              normalize: bool = True) -> np.ndarray:
+        """→ (*spatial, C) probabilities under the regime's inference nonlin
+        (sigmoid for regions, softmax otherwise) — the --save_probabilities
+        payload (reference ``export_prediction.py:109-121``)."""
+        logits = self.predict_logits(image, normalize)
+        if self.label_manager is not None:
+            return self.label_manager.apply_inference_nonlin(logits)
+        x = logits - logits.max(axis=-1, keepdims=True)
+        e = np.exp(x)
+        return e / e.sum(axis=-1, keepdims=True)

@@ -158,11 +158,12 @@ def preprocess_case_3d(image: np.ndarray, seg: np.ndarray, num_classes: int,
 def append_prev_stage_channels(case: PreprocessedCase, prev_seg: np.ndarray,
                                num_classes: int) -> PreprocessedCase:
     """Cascade stage-2 input: the previous stage's (resampled) segmentation
-    appended as one-hot channels (reference ``label_handling.py:283-322``
-    ``get_input_channels`` + the cascade transforms built in
-    ``nnUNetTrainer.py:673-795``)."""
+    appended as one-hot channels over the FOREGROUND labels only (reference
+    ``label_handling.py:283-322`` ``get_input_channels`` appends
+    ``len(foreground_labels)`` channels — no background channel; matches
+    ``determine_num_input_channels``, :296-297)."""
     assert prev_seg.shape == case.seg.shape, (prev_seg.shape, case.seg.shape)
-    onehot = np.eye(num_classes, dtype=np.float32)[np.maximum(prev_seg, 0)]
+    onehot = np.eye(num_classes, dtype=np.float32)[np.maximum(prev_seg, 0)][..., 1:]
     return PreprocessedCase(
         data=np.concatenate([case.data, onehot], axis=-1),
         seg=case.seg,
@@ -218,6 +219,15 @@ class PreprocessedDataset:
 
     def keys(self) -> List[str]:
         return list(self.cases.keys())
+
+    def subset(self, keys: Sequence[str]) -> "PreprocessedDataset":
+        """View restricted to the given case ids (fold selection — the
+        ``nnUNetDataset(keys)`` constructor filter, reference
+        ``get_tr_and_val_datasets``)."""
+        missing = [k for k in keys if k not in self.cases]
+        assert not missing, f"unknown case ids: {missing}"
+        return PreprocessedDataset(cases={k: self.cases[k] for k in keys},
+                                   directory=self.directory)
 
     def __len__(self) -> int:
         return len(self.cases)

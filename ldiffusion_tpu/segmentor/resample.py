@@ -102,9 +102,21 @@ def resample_data_3d(data: np.ndarray, new_shape: Sequence[int],
                             axis=-1).astype(data.dtype)
         return ndimage.zoom(data, zoom, order=order).astype(data.dtype)
 
-    # separate-z: the lowest-resolution axis is z (largest spacing)
+    # separate-z: the lowest-resolution axis is the largest-spacing axis
+    # (reference get_lowres_axis — NOT necessarily axis 0: spacing like
+    # (1, 5, 1) puts it in-plane). Transpose it to the front, resample,
+    # transpose back.
     z_ax = int(np.argmax(spacing))
-    assert z_ax == 0, "volumes are stored (Z, H, W[, C]) with z first"
+    if z_ax != 0:
+        perm = (z_ax,) + tuple(a for a in range(3) if a != z_ax)
+        inv = tuple(int(np.argsort(perm)[a]) for a in range(3))
+        extra = (3,) if has_c else ()
+        out = resample_data_3d(
+            np.transpose(data, perm + extra),
+            tuple(new_shape[a] for a in perm),
+            tuple(spacing[a] for a in perm),
+            order=order, order_z=order_z, is_seg=is_seg)
+        return np.transpose(out, inv + extra)
     nz, nh, nw = new_shape
     # in-plane pass (per z slice)
     planes = [resamp(data[z], (nh, nw)) for z in range(data.shape[0])]

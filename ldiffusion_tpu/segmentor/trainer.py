@@ -48,6 +48,11 @@ class SegTrainState(NamedTuple):
     params: dict
     opt_state: tuple
     step: jax.Array
+    # BatchNorm running statistics (nnUNetTrainerBN variant) — empty dict for
+    # instance-norm nets. Under pjit data parallelism the batch-stat
+    # reductions are global (XLA inserts the collectives), which matches the
+    # reference's SyncBatchNorm DDP wrap (nnUNetTrainer.py:218-220).
+    batch_stats: dict = {}
 
 
 def poly_lr(initial_lr: float, epoch: int, max_epochs: int, exponent: float = 0.9) -> float:
@@ -88,8 +93,10 @@ class SegmentorTrainer:
 
             from ldiffusion_tpu.data.augment import HostSpatialAugmenter
 
-            self.host_spatial = HostSpatialAugmenter(self.augment_cfg,
-                                                     seed=config.seed + 17)
+            self.host_spatial = HostSpatialAugmenter(
+                self.augment_cfg, seed=config.seed + 17,
+                data_order=0 if getattr(variant, "spatial_order0_data", False)
+                else 1)
             self.augment_cfg = _dc.replace(self.augment_cfg,
                                            p_rotation=0.0, p_scaling=0.0)
         self.log = TextLogger(os.path.join(output_dir, "training_log.txt"))
@@ -103,15 +110,25 @@ class SegmentorTrainer:
         # the volumetric net; cascade configs widen in_channels with the
         # prev-stage one-hot (net_cfg.in_channels already accounts for it)
         self.is_3d = len(plan.patch_size) == 3
+        if getattr(variant, "norm", "instance") == "batch":
+            # nnUNetTrainerBN (reference variants/network_architecture/)
+            if self.is_3d:
+                raise NotImplementedError("BN variant is 2D-only here")
+            import dataclasses as _dc
+
+            net_cfg = _dc.replace(net_cfg, norm="batch")
         if self.is_3d:
             from ldiffusion_tpu.models.dynunet3d import DynUNet3D
 
             self.net = DynUNet3D(net_cfg, dtype=dtype)
         else:
             self.net = DynUNet(net_cfg, dtype=dtype)
-        params = self.net.init(
+        variables = self.net.init(
             jax.random.key(config.seed),
-            jnp.zeros((1, *plan.patch_size, net_cfg.in_channels)))["params"]
+            jnp.zeros((1, *plan.patch_size, net_cfg.in_channels)))
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        self._has_bn = bool(batch_stats)
         # lr is injected per-epoch (PolyLR); inject via optax schedule on step
         # count would misalign with the reference's per-epoch stepping, so the
         # optimizer reads lr from a mutable scale.
@@ -135,11 +152,16 @@ class SegmentorTrainer:
         self.weight_decay = config.weight_decay
 
         params = jax.device_put(params, self.mesh.replicated)
+        batch_stats = jax.device_put(batch_stats, self.mesh.replicated)
         opt_state = jax.jit(self.tx.init, out_shardings=None)(params)
         self.state = SegTrainState(params=params, opt_state=opt_state,
-                                   step=jnp.zeros((), jnp.int32))
-        # label-regime LUTs, indexed by seg+1 (row 0 = the -1 outside-crop
-        # padding): region one-hot maps + loss mask excluding the ignore label
+                                   step=jnp.zeros((), jnp.int32),
+                                   batch_stats=batch_stats)
+        # label-regime LUTs, indexed by seg+1 (row 0 = the -1 value — kept for
+        # indexing safety, unreachable after the RemoveLabelTransform(-1, 0)
+        # mapping in the train/val steps: padding trains as background, like
+        # the reference, nnUNetTrainer.py:733): region one-hot maps + loss
+        # mask excluding the ignore label
         # (reference label_handling.py:248-322 + DC_and_Focal ignore handling)
         self._region_lut = None
         self._mask_lut = None
@@ -149,7 +171,6 @@ class SegmentorTrainer:
                 labels.append(label_manager.ignore_label)
             max_l = max(labels)
             mask = np.ones(max_l + 2, np.float32)
-            mask[0] = 0.0
             if label_manager.has_ignore_label:
                 mask[label_manager.ignore_label + 1] = 0.0
             self._mask_lut = jnp.asarray(mask)
@@ -166,13 +187,28 @@ class SegmentorTrainer:
                         {"plan": plan.to_json(), "config": config.to_json()})
 
     # ------------------------------------------------------------------
-    def _loss(self, params, data, seg_list):
-        outputs = self.net.apply({"params": params}, data, train=True)
+    def _apply_train(self, params, batch_stats, data):
+        """Forward in train mode; returns (outputs, new_batch_stats). BN nets
+        mutate running stats; instance-norm nets pass them through."""
+        if self._has_bn:
+            outputs, upd = self.net.apply(
+                {"params": params, "batch_stats": batch_stats}, data,
+                train=True, mutable=["batch_stats"])
+            return outputs, upd["batch_stats"]
+        return self.net.apply({"params": params}, data, train=True), batch_stats
+
+    def _loss(self, params, batch_stats, data, seg_list):
+        outputs, new_bs = self._apply_train(params, batch_stats, data)
         if not isinstance(outputs, (list, tuple)):
             outputs = [outputs]
 
         loss_name = getattr(self.variant, "loss", "dc_and_ce") if self.variant \
             else "dc_and_ce"
+        # loss knobs (nnUNetTrainerDiceCELoss_noSmooth / Topk10LossLS01)
+        smooth = getattr(self.variant, "dice_smooth", 1e-5) if self.variant \
+            else 1e-5
+        label_smoothing = getattr(self.variant, "label_smoothing", 0.0) \
+            if self.variant else 0.0
 
         def one(logits, seg):
             if self._region_lut is not None:
@@ -180,31 +216,41 @@ class SegmentorTrainer:
                 return dc_and_focal_sigmoid_loss(
                     logits, self._region_lut[idx], loss_mask=self._mask_lut[idx],
                     batch_dice=self.plan.batch_dice)
+            # seg is already RemoveLabelTransform'd (-1 → 0 background); only
+            # an explicit ignore label still masks the loss
             if self._mask_lut is not None:   # plain labels with ignore label
                 idx = jnp.clip(seg + 1, 0, self._mask_lut.shape[0] - 1)
                 mask = self._mask_lut[idx]
-                tgt = jnp.where(mask > 0, jnp.maximum(seg, 0), 0)
+                tgt = jnp.where(mask > 0, seg, 0)
             else:
-                mask = (seg >= 0).astype(jnp.float32)  # -1 = outside-crop padding
-                tgt = jnp.maximum(seg, 0)
+                mask = None
+                tgt = seg
             if loss_name == "dice":
                 return soft_dice_loss(logits, tgt, loss_mask=mask,
-                                      batch_dice=self.plan.batch_dice)
+                                      batch_dice=self.plan.batch_dice,
+                                      smooth=smooth)
             if loss_name == "ce":
                 return robust_cross_entropy(logits, tgt, loss_mask=mask)
             if loss_name == "topk10":
                 from ldiffusion_tpu.losses.dice import topk_cross_entropy
-                return topk_cross_entropy(logits, tgt)
+                return topk_cross_entropy(logits, tgt,
+                                          label_smoothing=label_smoothing)
+            if loss_name == "dc_and_topk10":
+                from ldiffusion_tpu.losses.dice import topk_cross_entropy
+                dc = soft_dice_loss(logits, tgt, loss_mask=mask,
+                                    batch_dice=self.plan.batch_dice,
+                                    smooth=smooth)
+                return dc + topk_cross_entropy(logits, tgt)
             if loss_name == "dc_and_focal":
                 from ldiffusion_tpu.losses.dice import dc_and_focal_loss
                 return dc_and_focal_loss(logits, tgt, loss_mask=mask,
                                          batch_dice=self.plan.batch_dice)
             dc = soft_dice_loss(logits, tgt, loss_mask=mask,
-                                batch_dice=self.plan.batch_dice)
+                                batch_dice=self.plan.batch_dice, smooth=smooth)
             ce = robust_cross_entropy(logits, tgt, loss_mask=mask)
             return dc + ce
 
-        return deep_supervision_loss(outputs, seg_list, one)
+        return deep_supervision_loss(outputs, seg_list, one), new_bs
 
     def _make_train_step(self):
         batch_sh = self.mesh.sharding((DATA_AXIS, FSDP_AXIS))
@@ -221,6 +267,12 @@ class SegmentorTrainer:
                  static_argnames=())
         def step(state: SegTrainState, data, seg, key, lr):
             data, seg = aug(key, data, seg, self.augment_cfg)
+            # RemoveLabelTransform(-1, 0) (reference nnUNetTrainer.py:733,776):
+            # crop padding AND rotated-out pixels train as BACKGROUND — the
+            # net must learn that sliding-window zero-pad borders are
+            # background. Runs after spatial DA, before region conversion and
+            # DS downsampling, exactly like the reference transform order.
+            seg = jnp.maximum(seg, 0)
             seg_list = [seg]
             cur = seg
             for s in self.plan.strides[1:]:
@@ -228,18 +280,23 @@ class SegmentorTrainer:
                     cur = _downsample_seg(cur, s, n_labels)
                     seg_list.append(cur)
             seg_list = seg_list[:n_ds]
-            loss, grads = jax.value_and_grad(self._loss)(state.params, data, seg_list)
+            (loss, new_bs), grads = jax.value_and_grad(self._loss, has_aux=True)(
+                state.params, state.batch_stats, data, seg_list)
             updates, opt_state = self.tx.update(grads, _set_lr(state.opt_state, lr),
                                                 state.params)
             params = optax.apply_updates(state.params, updates)
-            return SegTrainState(params, opt_state, state.step + 1), loss
+            return SegTrainState(params, opt_state, state.step + 1, new_bs), loss
 
         return step
 
     def _make_val_step(self):
         @jax.jit
-        def step(params, data, seg):
-            logits = self.net.apply({"params": params}, data, train=False)
+        def step(params, batch_stats, data, seg):
+            variables = {"params": params}
+            if self._has_bn:
+                variables["batch_stats"] = batch_stats
+            seg = jnp.maximum(seg, 0)  # RemoveLabelTransform(-1, 0), as in train
+            logits = self.net.apply(variables, data, train=False)
             if self._region_lut is not None:
                 # regions regime: sigmoid heads, per-region tp/fp/fn
                 # (reference nnUNetTrainer.py:957-1003 region branch)
@@ -263,10 +320,10 @@ class SegmentorTrainer:
             if self._mask_lut is not None:
                 idx = jnp.clip(seg + 1, 0, self._mask_lut.shape[0] - 1)
                 mask = self._mask_lut[idx] > 0
-                tgt = jnp.where(mask, jnp.maximum(seg, 0), 0)
+                tgt = jnp.where(mask, seg, 0)
             else:
-                mask = (seg >= 0)
-                tgt = jnp.maximum(seg, 0)
+                mask = jnp.ones(seg.shape, bool)  # -1 already mapped to bg
+                tgt = seg
             loss = soft_dice_loss(logits, tgt, loss_mask=mask.astype(jnp.float32),
                                   batch_dice=self.plan.batch_dice) + \
                 robust_cross_entropy(logits, tgt, loss_mask=mask.astype(jnp.float32))
@@ -300,15 +357,45 @@ class SegmentorTrainer:
                     break
         from ldiffusion_tpu.data.prefetch import Prefetcher
 
-        base_iter = iter(PatchSampler(
-            train_ds, self.plan.patch_size, self.plan.batch_size,
-            cfg.oversample_fg, seed=cfg.seed))
-        if self.host_spatial is not None:
-            base_iter = (self.host_spatial(d, s) for d, s in base_iter)
-        train_iter = Prefetcher(base_iter)
-        val_iter = Prefetcher(iter(PatchSampler(
-            val_ds, self.plan.patch_size, self.plan.batch_size,
-            cfg.oversample_fg, seed=cfg.seed + 1)))
+        # sampling mode (nnUNetTrainer_probabilisticOversampling family):
+        # per-sample bernoulli at the variant's rate — the base variant uses
+        # the positional rule's effective percentage
+        probabilistic = bool(getattr(self.variant, "probabilistic_oversampling",
+                                     False))
+        oversample = cfg.oversample_fg
+        if getattr(self.variant, "oversample_fg", None) is not None:
+            oversample = self.variant.oversample_fg
+        elif probabilistic:
+            oversample = PatchSampler.effective_oversample_percent(
+                self.plan.batch_size, cfg.oversample_fg)
+
+        if getattr(self.variant, "no_data_loading", False):
+            # Benchmark_5epochs_noDataLoading (reference
+            # variants/benchmarking/nnUNetTrainerBenchmark_5epochs_noDataLoading.py):
+            # one synthetic batch, reused every iteration — times the pure
+            # train step without the input pipeline
+            rng = np.random.default_rng(cfg.seed)
+            in_ch = self.net.config.in_channels
+            dummy_data = rng.random(
+                (self.plan.batch_size, *self.plan.patch_size, in_ch),
+                np.float32)
+            dummy_seg = rng.integers(
+                0, max(2, self.plan.num_classes),
+                (self.plan.batch_size, *self.plan.patch_size)).astype(np.int32)
+            train_iter = iter(lambda: (dummy_data, dummy_seg), None)
+            val_iter = iter(lambda: (dummy_data, dummy_seg), None)
+        else:
+            base_iter = iter(PatchSampler(
+                train_ds, self.plan.patch_size, self.plan.batch_size,
+                oversample, seed=cfg.seed,
+                probabilistic_oversampling=probabilistic))
+            if self.host_spatial is not None:
+                base_iter = (self.host_spatial(d, s) for d, s in base_iter)
+            train_iter = Prefetcher(base_iter)
+            val_iter = Prefetcher(iter(PatchSampler(
+                val_ds, self.plan.patch_size, self.plan.batch_size,
+                oversample, seed=cfg.seed + 1,
+                probabilistic_oversampling=probabilistic)))
         key = jax.random.key(cfg.seed)
         os.makedirs(self.output_dir, exist_ok=True)
 
@@ -345,7 +432,9 @@ class SegmentorTrainer:
                 data, seg = next(val_iter)
                 data = self.mesh.shard_batch(jnp.asarray(data))
                 seg = self.mesh.shard_batch(jnp.asarray(seg))
-                l, tpi, fpi, fni = self._val_step(self.state.params, data, seg)
+                l, tpi, fpi, fni = self._val_step(self.state.params,
+                                                  self.state.batch_stats,
+                                                  data, seg)
                 vl += float(l)
                 tp += np.asarray(tpi)
                 fp += np.asarray(fpi)
@@ -372,8 +461,9 @@ class SegmentorTrainer:
                 self.save_checkpoint(os.path.join(self.output_dir, "checkpoint_latest.pkl"))
             self.epoch_log.plot_progress(os.path.join(self.output_dir, "progress.png"))
 
-        train_iter.close()
-        val_iter.close()
+        for it in (train_iter, val_iter):
+            if hasattr(it, "close"):
+                it.close()
         self.save_checkpoint(os.path.join(self.output_dir, "checkpoint_final.pkl"))
         self._write_benchmark_result()
 
@@ -430,7 +520,15 @@ class SegmentorTrainer:
         gt_out = gt_dir or os.path.join(self.output_dir, "validation_gt")
         os.makedirs(gt_out, exist_ok=True)
         dtype = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
-        predictor = SlidingWindowPredictor(self.plan, self.state.params, dtype=dtype)
+        pvars = ({"params": self.state.params,
+                  "batch_stats": self.state.batch_stats}
+                 if self._has_bn else self.state.params)
+        # the label manager routes regions/ignore regimes through the
+        # inference nonlin + regions_class_order painting (reference
+        # predict_from_raw_data.py:459-494 → label_handling.py:128-176) —
+        # argmax on sigmoid region heads would be WRONG
+        predictor = SlidingWindowPredictor(self.plan, pvars, dtype=dtype,
+                                           label_manager=self.label_manager)
         preds, gts = [], []
         n_proc = _jax.process_count()
         idx = _jax.process_index()
@@ -443,11 +541,24 @@ class SegmentorTrainer:
                 os.path.join(gt_out, f"case_{i:03d}.png"))
             preds.append(seg)
             gts.append(_np.asarray(lab))
+        lm = self.label_manager
         summary = compute_metrics_on_folder(
             out_dir, gt_out, self.plan.num_classes,
-            output_file=os.path.join(out_dir, "summary.json"))
+            output_file=os.path.join(out_dir, "summary.json"),
+            regions_or_labels=(lm.labels_or_regions_for_eval
+                               if lm is not None else None),
+            ignore_label=lm.ignore_label if lm is not None else None)
         if determine_pp and preds:
-            steps = determine_postprocessing(preds, gts, self.plan.num_classes)
+            # the CM-based pp scorer needs a class count covering every VALUE
+            # appearing in preds/gts — painted region labels and the ignore
+            # label can exceed the network head count
+            n_pp = self.plan.num_classes
+            if lm is not None:
+                vals = list(lm.all_labels)
+                if lm.has_ignore_label:
+                    vals.append(lm.ignore_label)
+                n_pp = max(vals) + 1
+            steps = determine_postprocessing(preds, gts, n_pp)
             save_postprocessing(steps, os.path.join(self.output_dir,
                                                     "postprocessing.json"))
         self.log(f"final validation foreground dice: "
@@ -460,6 +571,7 @@ class SegmentorTrainer:
             "params": self.state.params,
             "opt_state": self.state.opt_state,
             "step": self.state.step,
+            "batch_stats": self.state.batch_stats,
             "epoch": self.current_epoch,
             "best_ema": self.best_ema,
             "logger": self.epoch_log.state_dict(),
@@ -470,8 +582,11 @@ class SegmentorTrainer:
         ck = load_pytree(path)
         params = jax.device_put(ck["params"], self.mesh.replicated)
         opt_state = jax.tree_util.tree_map(jnp.asarray, ck["opt_state"])
+        batch_stats = jax.device_put(ck.get("batch_stats", {}),
+                                     self.mesh.replicated)
         self.state = SegTrainState(params=params, opt_state=opt_state,
-                                   step=jnp.asarray(ck["step"]))
+                                   step=jnp.asarray(ck["step"]),
+                                   batch_stats=batch_stats)
         self.current_epoch = ck["epoch"]
         self.best_ema = ck["best_ema"]
         self.epoch_log.load_state_dict(ck["logger"])

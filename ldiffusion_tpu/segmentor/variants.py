@@ -1,19 +1,22 @@
-"""Trainer variants — the configuration-space equivalent of nnUNet's 20
-trainer subclasses (reference ``training/nnUNetTrainer/variants/**``, 1339
-LoC of subclassing).
+"""Trainer variants — the configuration-space equivalent of nnUNet's trainer
+subclasses (reference ``training/nnUNetTrainer/variants/**``, 1339 LoC of
+subclassing).
 
-In this framework a "variant" is data, not a class: a named recipe mapping
-to (SegmentorTrainConfig overrides, AugmentConfig overrides, loss choice,
-lr schedule, optimizer). ``get_variant(name)`` accepts the reference's
-trainer names (``nnUNetTrainer_5epochs``, ``nnUNetTrainerDiceLoss``,
-``nnUNetTrainerCosAnneal``, ...) for drop-in familiarity.
+In this framework a "variant" is data, not a class: a named recipe mapping to
+(SegmentorTrainConfig overrides, AugmentConfig overrides, loss choice, lr
+schedule, optimizer, norm layer, sampling mode). ``get_variant(name)``
+accepts exactly the reference's trainer class names
+(``KNOWN_VARIANT_NAMES``) and RAISES on anything else — the reference
+crashes on unknown trainer names too (``run/run_training.py:32-68``
+``recursive_find_python_class`` returns None → hard failure), so a typo must
+never silently train the default recipe.
 """
 from __future__ import annotations
 
 import dataclasses
 import math
 import re
-from typing import Optional
+from typing import Optional, Tuple
 
 from ldiffusion_tpu.core.config import SegmentorTrainConfig
 from ldiffusion_tpu.data.augment import AugmentConfig
@@ -24,48 +27,171 @@ class TrainerVariant:
     name: str
     config: SegmentorTrainConfig
     augment: AugmentConfig
-    loss: str = "dc_and_ce"          # dc_and_ce | dice | ce | topk10 | dc_and_focal
+    loss: str = "dc_and_ce"          # dc_and_ce | dice | ce | topk10 |
+                                     # dc_and_topk10 | dc_and_focal
     lr_schedule: str = "poly"        # poly | cosine | constant
     optimizer: str = "sgd"           # sgd | adam
     mirror_tta: bool = True
+    # network norm layer (reference nnUNetTrainerBN swaps InstanceNorm for
+    # BatchNorm, variants/network_architecture/nnUNetTrainerBN.py)
+    norm: str = "instance"           # instance | batch
+    # per-sample bernoulli fg-oversampling instead of the positional batch
+    # rule (reference variants/sampling/nnUNetTrainer_probabilisticOversampling.py)
+    probabilistic_oversampling: bool = False
+    oversample_fg: Optional[float] = None  # override of config.oversample_fg
+    # benchmark trainers: 5 epochs; noDataLoading feeds one synthetic batch
+    # (reference variants/benchmarking/*)
+    benchmark: bool = False
+    no_data_loading: bool = False
+    # loss knobs (reference nnUNetTrainerDiceCELoss_noSmooth / Topk10LossLS01)
+    dice_smooth: float = 1e-5
+    label_smoothing: float = 0.0
+    # spatial-transform resampling order 0 (reference nnUNetTrainerDAOrd0:
+    # order_resampling_data=0; *Segord0/_DASegOrd0: order_resampling_seg=0 —
+    # seg already resamples nearest here, so only the data order is a knob)
+    spatial_order0_data: bool = False
 
 
 _NO_DA = AugmentConfig(p_rotation=0, p_scaling=0, p_noise=0, p_blur=0,
                        p_brightness=0, p_contrast=0, p_lowres=0,
                        p_gamma_invert=0, p_gamma=0, p_mirror=0)
-_NO_MIRROR = dataclasses.replace(AugmentConfig(), p_mirror=0)
+
+# DA5: the "more aggressive DA" recipe (reference
+# variants/data_augmentation/nnUNetTrainerDA5.py): spatial p 0.4 w/ scale
+# (0.7, 1.43), transpose/rot90 p 0.5 (mapped onto mirroring here), blur up to
+# sigma 1.5, additive brightness p 0.3, contrast p 0.4, lowres p 0.15,
+# gamma 0.1/0.3. Approximation documented in PARITY.md (the reference's
+# blank-rectangle / local-gamma / sharpening transforms have no analog in
+# this stack).
+_DA5 = AugmentConfig(p_rotation=0.4, p_scaling=0.4, scale_range=(0.7, 1.43),
+                     p_noise=0.1, p_blur=0.2, blur_sigma=(0.5, 1.5),
+                     p_brightness=0.3, p_contrast=0.4, p_lowres=0.15,
+                     p_gamma_invert=0.1, p_gamma=0.3, p_mirror=0.5)
+
+
+# The full reference variant-class matrix
+# (training/nnUNetTrainer/variants/**) plus the base trainer names.
+KNOWN_VARIANT_NAMES = (
+    "default",
+    "nnUNetTrainer",
+    # benchmarking
+    "nnUNetTrainerBenchmark_5epochs",
+    "nnUNetTrainerBenchmark_5epochs_noDataLoading",
+    # data augmentation
+    "nnUNetTrainerDA5",
+    "nnUNetTrainerDA5ord0",
+    "nnUNetTrainerDA5Segord0",
+    "nnUNetTrainerDA5_10epochs",
+    "nnUNetTrainerDAOrd0",
+    "nnUNetTrainer_DASegOrd0",
+    "nnUNetTrainerNoDA",
+    "nnUNetTrainerNoMirroring",
+    "nnUNetTrainer_onlyMirror01",
+    # loss
+    "nnUNetTrainerCELoss",
+    "nnUNetTrainerCELoss_5epochs",
+    "nnUNetTrainerDiceLoss",
+    "nnUNetTrainerDiceCELoss_noSmooth",
+    "nnUNetTrainerTopk10Loss",
+    "nnUNetTrainerTopk10LossLS01",
+    "nnUNetTrainerDiceTopK10Loss",
+    # lr schedule
+    "nnUNetTrainerCosAnneal",
+    # network architecture
+    "nnUNetTrainerBN",
+    # optimizer
+    "nnUNetTrainerAdam",
+    "nnUNetTrainerAdam1en3",
+    "nnUNetTrainerAdam3en4",
+    "nnUNetTrainerVanillaAdam",
+    "nnUNetTrainerVanillaAdam1en3",
+    "nnUNetTrainerVanillaAdam3en4",
+    "nnUNetTrainerAdan",
+    "nnUNetTrainerAdan1en1",
+    "nnUNetTrainerAdan1en3",
+    "nnUNetTrainerAdan3en4",
+    "nnUNetTrainerAdanCosAnneal",
+    # sampling
+    "nnUNetTrainer_probabilisticOversampling",
+    "nnUNetTrainer_probabilisticOversampling_033",
+    "nnUNetTrainer_probabilisticOversampling_010",
+    # deep supervision
+    "nnUNetTrainerNoDeepSupervision",
+    # training length
+    "nnUNetTrainer_1epoch",
+    "nnUNetTrainer_5epochs",
+    "nnUNetTrainer_10epochs",
+    "nnUNetTrainer_20epochs",
+    "nnUNetTrainer_50epochs",
+    "nnUNetTrainer_100epochs",
+    "nnUNetTrainer_250epochs",
+    "nnUNetTrainer_2000epochs",
+    "nnUNetTrainer_4000epochs",
+    "nnUNetTrainer_8000epochs",
+    "nnUNetTrainer_250epochs_NoMirroring",
+    "nnUNetTrainer_2000epochs_NoMirroring",
+    "nnUNetTrainer_4000epochs_NoMirroring",
+    "nnUNetTrainer_8000epochs_NoMirroring",
+)
 
 
 def get_variant(name: str = "default",
                 base: Optional[SegmentorTrainConfig] = None) -> TrainerVariant:
+    if name not in KNOWN_VARIANT_NAMES:
+        raise ValueError(
+            f"unknown trainer variant {name!r} — the reference fails on "
+            f"unknown trainer names (run_training.py:32-68) and so do we. "
+            f"Known: {', '.join(KNOWN_VARIANT_NAMES)}")
     base = base or SegmentorTrainConfig()
     aug = AugmentConfig()
     cfg = base
     loss, sched, opt, mirror = "dc_and_ce", "poly", "sgd", True
+    kw = {}
 
     # Xepochs family (reference variants/training_length/*):
-    m = re.search(r"_(\d+)epochs?$", name)
+    m = re.search(r"_(\d+)epochs?(_NoMirroring)?$", name)
     if m:
         cfg = dataclasses.replace(cfg, num_epochs=int(m.group(1)))
     if "Benchmark" in name:
         cfg = dataclasses.replace(cfg, num_epochs=5)
+        kw["benchmark"] = True
+        if "noDataLoading" in name:
+            kw["no_data_loading"] = True
 
     # DA family (variants/data_augmentation/*)
+    if "DA5" in name:
+        aug = _DA5
     if "NoDA" in name:
         aug = _NO_DA
     if "NoMirroring" in name:
         aug = dataclasses.replace(aug, p_mirror=0)
         mirror = False
-    if "DAOrd0" in name:
-        aug = dataclasses.replace(aug, p_lowres=0)
+    if "onlyMirror01" in name:
+        # restrict mirroring to the first two spatial axes (identity in 2D;
+        # 3D volumes stop mirroring the W axis)
+        aug = dataclasses.replace(aug, mirror_axes=(0, 1))
+    if name in ("nnUNetTrainerDAOrd0", "nnUNetTrainerDA5ord0"):
+        # order-0 DATA resampling in the spatial transform (reference
+        # nnUNetTrainerDAOrd0: order_resampling_data=0, order_resampling_seg=0)
+        kw["spatial_order0_data"] = True
+    # nnUNetTrainer_DASegOrd0 / nnUNetTrainerDA5Segord0 set only
+    # order_resampling_seg=0 — seg already resamples nearest in this stack,
+    # so they are distinct names resolving to their base recipe.
 
     # loss family (variants/loss/*)
-    if "DiceLoss" in name:
-        loss = "dice"
-    if "CELoss" in name or name.endswith("_CE"):
-        loss = "ce"
-    if "TopK" in name.replace("topk", "TopK"):
+    if "DiceTopK10Loss" in name:
+        loss = "dc_and_topk10"
+    elif "Topk10Loss" in name:
         loss = "topk10"
+        if name.endswith("LS01"):
+            kw["label_smoothing"] = 0.1
+    elif "DiceCELoss_noSmooth" in name:
+        loss = "dc_and_ce"
+        kw["dice_smooth"] = 0.0
+    elif "DiceLoss" in name:
+        loss = "dice"
+    elif "CELoss" in name:
+        loss = "ce"
     if "Focal" in name:
         loss = "dc_and_focal"
 
@@ -73,13 +199,41 @@ def get_variant(name: str = "default",
     if "CosAnneal" in name:
         sched = "cosine"
     if "Adam" in name or "Adan" in name:
+        # AdamW with the trainer's lr unless an explicit lr suffix is given
+        # (reference variants/optimizer/nnUNetTrainerAdam.py: 1en3 → 1e-3,
+        # 3en4 → 3e-4, Adan1en1 → 1e-1)
         opt = "adam"
-        cfg = dataclasses.replace(cfg, initial_lr=3e-4)
+        lr = 3e-4
+        if "1en3" in name:
+            lr = 1e-3
+        elif "3en4" in name:
+            lr = 3e-4
+        elif "1en1" in name:
+            lr = 1e-1
+        cfg = dataclasses.replace(cfg, initial_lr=lr)
     if "NoDeepSupervision" in name:
         cfg = dataclasses.replace(cfg, deep_supervision=False)
 
+    # network architecture (variants/network_architecture/nnUNetTrainerBN.py)
+    if name == "nnUNetTrainerBN":
+        kw["norm"] = "batch"
+
+    # sampling (variants/sampling/*)
+    if "probabilisticOversampling" in name:
+        kw["probabilistic_oversampling"] = True
+        if name.endswith("_033"):
+            kw["oversample_fg"] = 0.33
+        elif name.endswith("_010"):
+            kw["oversample_fg"] = 0.10
+        else:
+            # base class keeps the EFFECTIVE positional percentage
+            # (mean over batch positions of the positional rule) — for the
+            # default bs=2 / 33% that is exactly 0.5
+            kw["oversample_fg"] = None  # computed by the sampler from batch
+
     return TrainerVariant(name=name, config=cfg, augment=aug, loss=loss,
-                          lr_schedule=sched, optimizer=opt, mirror_tta=mirror)
+                          lr_schedule=sched, optimizer=opt, mirror_tta=mirror,
+                          **kw)
 
 
 def lr_at_epoch(variant: TrainerVariant, epoch: int, max_epochs: int) -> float:

@@ -78,7 +78,9 @@ def test_ignore_label_regime(tmp_path):
                ignore_label=3, tmp_path=tmp_path)
     assert t._mask_lut is not None and t._region_lut is None
     assert float(t._mask_lut[3 + 1]) == 0.0   # ignore masked
-    assert float(t._mask_lut[0]) == 0.0       # -1 padding masked
+    # -1 padding trains as BACKGROUND (RemoveLabelTransform(-1, 0), reference
+    # nnUNetTrainer.py:733) — row 0 is unreachable and unmasked
+    assert float(t._mask_lut[0]) == 1.0
     assert np.isfinite(t.epoch_log.get("train_loss"))
 
 
@@ -102,3 +104,74 @@ def test_regions_plus_ignore_regime(tmp_path):
     assert float(t._mask_lut[3 + 1]) == 0.0
     np.testing.assert_array_equal(np.asarray(t._region_lut[3 + 1]), [0.0, 0.0])
     assert np.isfinite(t.epoch_log.get("train_loss"))
+
+
+# ---------------------------------------------------------------------------
+# Round 3: the matrix extends THROUGH prediction + summary.json (the
+# reference's 996-999 integration tests run through prediction —
+# tests/integration_tests/readme.md). A regions/ignore-trained model must
+# predict via the inference nonlin + regions_class_order painting, not argmax
+# (reference predict_from_raw_data.py:459-494 → label_handling.py:128-176).
+# ---------------------------------------------------------------------------
+
+def _validate(t, ignore_label=None):
+    rng = np.random.default_rng(1)
+    imgs, segs = _dataset(rng, n=2, ignore_label=ignore_label)
+    return t.perform_actual_validation(imgs, segs)
+
+
+@pytest.mark.slow
+def test_regions_regime_predicts_painted_labels(tmp_path):
+    import json
+
+    t = _train({"background": 0, "whole": (1, 2), "core": (2,)},
+               regions_class_order=(1, 2), tmp_path=tmp_path)
+    summary = _validate(t)
+    # predictions are PAINTED label values, not sigmoid-head indices
+    from PIL import Image
+    vdir = os.path.join(t.output_dir, "validation")
+    pngs = [f for f in os.listdir(vdir) if f.endswith(".png")]
+    assert pngs
+    vals = set()
+    for f in pngs:
+        vals |= set(np.unique(np.asarray(Image.open(os.path.join(vdir, f)))))
+    assert vals <= {0, 1, 2}
+    # summary scores REGION TUPLES, not class indices
+    assert set(summary["mean"].keys()) == {"(1, 2)", "(2,)"}
+    assert "Dice" in summary["foreground_mean"]
+    data = json.load(open(os.path.join(vdir, "summary.json")))
+    assert set(data["mean"].keys()) == {"(1, 2)", "(2,)"}
+
+
+@pytest.mark.slow
+def test_ignore_regime_validation_masks_ignore(tmp_path):
+    t = _train({"background": 0, "a": 1, "b": 2, "ignore": 3},
+               ignore_label=3, tmp_path=tmp_path)
+    summary = _validate(t, ignore_label=3)
+    # per-label masked metrics: counted pixels exclude the GT ignore strip
+    case = summary["metric_per_case"][0]["metrics"]
+    assert set(case.keys()) == {"1", "2"}
+    m = case["1"]
+    total = m["TP"] + m["FP"] + m["FN"] + m["TN"]
+    assert total == 32 * 32 - 2 * 32  # whole image minus the ignore strip
+
+
+def test_sliding_window_regions_painting_unit():
+    """Unit: a predictor with sigmoid region heads paints in
+    regions_class_order — later regions overwrite earlier ones."""
+    from ldiffusion_tpu.segmentor.label_manager import LabelManager
+
+    lm = LabelManager({"background": 0, "whole": (1, 2), "core": (2,)},
+                      regions_class_order=(1, 2))
+    # head 0 ("whole") hot everywhere, head 1 ("core") hot in a corner
+    logits = np.full((8, 8, 2), -10.0, np.float32)
+    logits[..., 0] = 10.0
+    logits[:2, :2, 1] = 10.0
+    seg = lm.convert_logits_to_segmentation(logits)
+    assert (seg[:2, :2] == 2).all()     # core painted over whole
+    assert (seg[4:, 4:] == 1).all()
+    # plain-label managers map argmax through label VALUES
+    lm2 = LabelManager({"background": 0, "x": 3, "y": 7})
+    lg = np.zeros((4, 4, 3), np.float32)
+    lg[..., 2] = 5.0
+    assert (lm2.convert_logits_to_segmentation(lg) == 7).all()

@@ -35,7 +35,7 @@ def test_variant_trainer_runs(tmp_path):
                                features_per_stage=(8, 16), strides=(1, 2))
     base = SegmentorTrainConfig(num_epochs=1, iters_per_epoch=2, val_iters_per_epoch=1,
                                 compute_dtype="float32")
-    variant = get_variant("nnUNetTrainerDiceLoss_1epochs", base=base)
+    variant = get_variant("nnUNetTrainerDiceLoss", base=base)  # base: 1 epoch
     mesh = make_mesh(MeshConfig(data=4, fsdp=2, tensor=1))
     tr = SegmentorTrainer(plan, variant.config, mesh, output_dir=str(tmp_path),
                           variant=variant)
@@ -57,7 +57,7 @@ def test_adam_variant_builds(tmp_path):
                                features_per_stage=(8, 16), strides=(1, 2))
     base = SegmentorTrainConfig(num_epochs=1, iters_per_epoch=1, val_iters_per_epoch=1,
                                 compute_dtype="float32")
-    variant = get_variant("nnUNetTrainerAdam_1epochs", base=base)
+    variant = get_variant("nnUNetTrainerAdam", base=base)  # base: 1 epoch
     mesh = make_mesh(MeshConfig(data=2, fsdp=4, tensor=1))
     tr = SegmentorTrainer(plan, variant.config, mesh, output_dir=str(tmp_path),
                           variant=variant)
