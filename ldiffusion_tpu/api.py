@@ -157,8 +157,12 @@ class LDiffusionModel:
         return trainer.train(it, steps_per_epoch=steps)
 
     # -- stage 2: tissue -------------------------------------------------
-    def train_tissue(self, epochs: int, ldiffusion_weight: str, num_classes: int,
-                     train_ds: SegmentationDataset, val_ds: SegmentationDataset) -> str:
+    def _prepare_tissue(self, ldiffusion_weight: str, num_classes: int,
+                        train_ds: SegmentationDataset,
+                        val_ds: SegmentationDataset):
+        """Shared fold-independent setup: diffusion-transform the dataset,
+        fingerprint, plan, preprocess ALL train cases once. Returns a dict
+        consumed by :meth:`_train_tissue_fold`."""
         from ldiffusion_tpu.segmentor.dataset_builder import (
             DiffusionTransform,
             build_transformed_dataset,
@@ -170,7 +174,6 @@ class LDiffusionModel:
         )
         from ldiffusion_tpu.segmentor.planner import plan_experiment
         from ldiffusion_tpu.segmentor.preprocess import PreprocessedDataset
-        from ldiffusion_tpu.segmentor.trainer import SegmentorTrainer
 
         comps = self._load_components(unet_override_dir=ldiffusion_weight)
         self.log("\033[32m[LDiffusion] Preparing data by L-Diffusion...\033[0m")
@@ -192,36 +195,66 @@ class LDiffusionModel:
         plan = plan_experiment(fp, num_classes)
         out_dir = os.path.join(self.work_dir, "segmentor", f"Dataset{num:03d}")
         plan.save(os.path.join(out_dir, "plans.json"))
+        pp_all = PreprocessedDataset.build(images, labels, num_classes)
+        return {"plan": plan, "out_dir": out_dir, "pp_all": pp_all,
+                "ds_path": ds_path, "num_classes": num_classes}
 
-        # fold-0-style 80/20 split of the TRAIN cases for online validation
-        # (nnUNet validates on a held-out fold of imagesTr,
-        # nnUNetTrainer.py:591-640) — disjoint whenever >1 case exists.
-        if len(images) > 1:
-            n_val = min(max(1, int(round(len(images) * 0.2))), len(images) - 1)
-            tr_i, tr_l = images[:-n_val], labels[:-n_val]
-            va_i, va_l = images[-n_val:], labels[-n_val:]
-        else:
-            tr_i, tr_l = images, labels
-            va_i, va_l = images, labels
-        pp_train = PreprocessedDataset.build(tr_i, tr_l, num_classes)
-        pp_val = PreprocessedDataset.build(va_i, va_l, num_classes)
+    def _train_tissue_fold(self, prep: dict, epochs: int, fold) -> str:
+        """Train ONE cross-validation fold (reference ``do_split`` +
+        ``get_tr_and_val_datasets``, ``nnUNetTrainer.py:513-600``): the 5-fold
+        seeded split is generated once and persisted as ``splits_final.json``
+        next to ``plans.json``; checkpoints land in ``fold_<f>/`` (the
+        reference's per-fold result folders, ``run/run_training.py``)."""
+        from ldiffusion_tpu.segmentor.dataset_builder import load_transformed_dataset
+        from ldiffusion_tpu.segmentor.splits import do_split
+        from ldiffusion_tpu.segmentor.trainer import SegmentorTrainer
 
-        self.log("\033[32m[Segmentor] Training is starting...\033[0m")
+        plan, out_dir, pp_all = prep["plan"], prep["out_dir"], prep["pp_all"]
+        splits_file = os.path.join(out_dir, "splits_final.json")
+        tr_keys, va_keys = do_split(pp_all.keys(), fold, splits_file,
+                                    log=self.log)
+        pp_train = pp_all.subset(tr_keys)
+        pp_val = pp_all.subset(va_keys)
+
+        self.log(f"\033[32m[Segmentor] Training fold {fold} "
+                 f"({len(tr_keys)} train / {len(va_keys)} val cases)...\033[0m")
         cfg = self.segmentor_config or SegmentorTrainConfig(num_epochs=epochs)
-        trainer = SegmentorTrainer(plan, cfg, self.mesh, output_dir=out_dir)
+        fold_dir = os.path.join(out_dir, f"fold_{fold}")
+        trainer = SegmentorTrainer(plan, cfg, self.mesh, output_dir=fold_dir)
         trainer.run_training(pp_train, pp_val, num_epochs=epochs)
         # final validation: sliding-window over the transformed HELD-OUT 30%
         # split (imagesTs, from val_ds) — never training-set images —
         # summary.json + postprocessing determination (reference
         # nnUNetTrainer.py:1119-1246 on_train_end).
-        val_images, val_labels = load_transformed_dataset(ds_path, "Ts")
+        val_images, val_labels = load_transformed_dataset(prep["ds_path"], "Ts")
         if not val_images:  # no held-out cases: fall back to the val fold
-            val_images, val_labels = va_i, va_l
+            val_images = [pp_all[k].data for k in va_keys]
+            val_labels = [np.maximum(pp_all[k].seg, 0) for k in va_keys]
         try:
             trainer.perform_actual_validation(val_images, val_labels)
         except Exception as e:  # validation must not lose the trained model
             self.log(f"final validation failed: {e}")
         return out_dir
+
+    def train_tissue(self, epochs: int, ldiffusion_weight: str, num_classes: int,
+                     train_ds: SegmentationDataset, val_ds: SegmentationDataset,
+                     fold=0) -> str:
+        prep = self._prepare_tissue(ldiffusion_weight, num_classes,
+                                    train_ds, val_ds)
+        return self._train_tissue_fold(prep, epochs, fold)
+
+    def train_tissue_all_folds(self, epochs: int, ldiffusion_weight: str,
+                               num_classes: int, train_ds: SegmentationDataset,
+                               val_ds: SegmentationDataset,
+                               folds=(0, 1, 2, 3, 4)) -> str:
+        """Train every CV fold (the ``nnUNetv2_train`` loop over folds the
+        reference readme prescribes); inference then fold-ensembles the
+        per-fold checkpoints (``SlidingWindowPredictor.from_checkpoints``)."""
+        prep = self._prepare_tissue(ldiffusion_weight, num_classes,
+                                    train_ds, val_ds)
+        for f in folds:
+            self._train_tissue_fold(prep, epochs, f)
+        return prep["out_dir"]
 
     # -- stage 2: cell ----------------------------------------------------
     def train_cell(self, epochs: int, ldiffusion_weight: str, num_classes: int,
@@ -277,6 +310,30 @@ class LDiffusionModel:
         pil_out = Image.fromarray((np.clip(out, 0, 1) * 255).astype(np.uint8))
         return pil_out, out
 
+    @staticmethod
+    def _find_fold_checkpoints(segmentor_weight: str):
+        """Checkpoint paths for inference: every trained ``fold_*`` dir
+        contributes its best (falling back to final) checkpoint and the
+        predictor fold-ensembles them by logit averaging (reference
+        ``predict_from_raw_data.py:459-494``); flat layouts (no fold dirs)
+        keep working."""
+        import glob as _glob
+
+        dirs = sorted(d for d in _glob.glob(os.path.join(segmentor_weight,
+                                                         "fold_*"))
+                      if os.path.isdir(d)) or [segmentor_weight]
+        ckpts = []
+        for d in dirs:
+            for name in ("checkpoint_best.pkl", "checkpoint_final.pkl"):
+                p = os.path.join(d, name)
+                if os.path.exists(p):
+                    ckpts.append(p)
+                    break
+        if not ckpts:
+            raise FileNotFoundError(
+                f"no checkpoint_best/final.pkl under {segmentor_weight}")
+        return ckpts
+
     def inference_tissue(self, image_path, ldiffusion_weight, segmentor_weight,
                          num_classes, output_path: Optional[str] = None,
                          overwrite: bool = True):
@@ -286,15 +343,16 @@ class LDiffusionModel:
         self.log("Running inference on tissue-level model...")
         self._load_components(unet_override_dir=ldiffusion_weight)
         plan = SegPlan.load(os.path.join(segmentor_weight, "plans.json"))
-        ckpt = os.path.join(segmentor_weight, "checkpoint_best.pkl")
-        if not os.path.exists(ckpt):
-            ckpt = os.path.join(segmentor_weight, "checkpoint_final.pkl")
-        predictor = SlidingWindowPredictor.from_checkpoints(plan, [ckpt])
+        ckpts = self._find_fold_checkpoints(segmentor_weight)
+        predictor = SlidingWindowPredictor.from_checkpoints(plan, ckpts)
         pp_steps = []
-        pp_path = os.path.join(segmentor_weight, "postprocessing.json")
-        if os.path.exists(pp_path):
-            from ldiffusion_tpu.segmentor.postprocess import load_postprocessing
-            pp_steps = load_postprocessing(pp_path)
+        for cand in ([segmentor_weight]
+                     + [os.path.dirname(c) for c in ckpts]):
+            pp_path = os.path.join(cand, "postprocessing.json")
+            if os.path.exists(pp_path):
+                from ldiffusion_tpu.segmentor.postprocess import load_postprocessing
+                pp_steps = load_postprocessing(pp_path)
+                break
 
         if os.path.isdir(image_path):
             # batch mode (reference segmentor.py:399-419)

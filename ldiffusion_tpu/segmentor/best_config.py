@@ -79,3 +79,79 @@ def find_best_configuration(
         with open(output_json, "w") as f:
             json.dump(info, f, indent=2)
     return info
+
+
+def collect_fold_cv_predictions(plan, dataset_dir: str, pp_dataset,
+                                use_mirroring: bool = True):
+    """Cross-validation probability maps for one configuration: every
+    ``fold_<f>`` checkpoint predicts ITS OWN validation split (the reference
+    scores configs on the union of per-fold validation predictions,
+    ``find_best_configuration.py`` via each fold's ``validation/`` folder +
+    CV ``summary.json``).
+
+    dataset_dir must contain ``splits_final.json`` and ``fold_*`` checkpoint
+    dirs (the ``api.train_tissue`` layout); pp_dataset is the preprocessed
+    dataset covering all train cases. Returns (case_keys, probs, gts) with
+    one entry per case that appears in some fold's validation split.
+    """
+    import glob as _glob
+
+    import numpy as np
+
+    from ldiffusion_tpu.segmentor.predictor import SlidingWindowPredictor
+    from ldiffusion_tpu.segmentor.splits import load_or_create_splits
+
+    splits = load_or_create_splits(os.path.join(dataset_dir,
+                                                "splits_final.json"),
+                                   pp_dataset.keys())
+    keys, probs, gts = [], [], []
+    for d in sorted(_glob.glob(os.path.join(dataset_dir, "fold_*"))):
+        fold = int(os.path.basename(d).split("_")[1])
+        if fold >= len(splits):
+            continue
+        ckpt = None
+        for name in ("checkpoint_best.pkl", "checkpoint_final.pkl"):
+            p = os.path.join(d, name)
+            if os.path.exists(p):
+                ckpt = p
+                break
+        if ckpt is None:
+            continue
+        predictor = SlidingWindowPredictor.from_checkpoints(
+            plan, [ckpt], use_mirroring=use_mirroring)
+        for k in splits[fold]["val"]:
+            case = pp_dataset[k]
+            keys.append(k)
+            probs.append(predictor.predict_probabilities(
+                np.asarray(case.data, np.float32)))
+            gts.append(np.maximum(case.seg, 0))
+    return keys, probs, gts
+
+
+def find_best_configuration_from_folds(configs, pp_dataset, num_classes: int,
+                                       allow_ensembling: bool = True,
+                                       output_json: Optional[str] = None,
+                                       use_mirroring: bool = True) -> Dict:
+    """The CV-consuming ``find_best_configuration`` (reference
+    ``evaluation/find_best_configuration.py:1-333``): score every trained
+    configuration by its cross-validation predictions (each fold predicting
+    its own validation split), try pairwise prob-mean ensembles, pick the
+    winner, determine postprocessing, write inference_information.json.
+
+    configs: {config_name: (plan, dataset_dir with fold_* checkpoints)}.
+    """
+    config_probs: Dict[str, List] = {}
+    gts = None
+    for name, (plan, dataset_dir) in configs.items():
+        keys, probs, fold_gts = collect_fold_cv_predictions(
+            plan, dataset_dir, pp_dataset, use_mirroring=use_mirroring)
+        order = np.argsort(keys)
+        config_probs[name] = [probs[i] for i in order]
+        g = [fold_gts[i] for i in order]
+        assert gts is None or all(
+            np.array_equal(a, b) for a, b in zip(gts, g)), \
+            "configurations disagree on CV case coverage"
+        gts = g
+    return find_best_configuration(config_probs, gts, num_classes,
+                                   allow_ensembling=allow_ensembling,
+                                   output_json=output_json)

@@ -64,7 +64,10 @@ def test_full_pipeline_tissue(puma_dirs, tmp_path):
     assert os.path.exists(os.path.join(out["ldiffusion"], "unet_params.npz"))
     seg_dir = out["segmentor"]
     assert os.path.exists(os.path.join(seg_dir, "plans.json"))
-    assert os.path.exists(os.path.join(seg_dir, "checkpoint_final.pkl"))
+    # nnUNet-style CV layout: fold_0/ holds the checkpoints, the seeded
+    # 5-fold split is persisted next to the plans (do_split analog)
+    assert os.path.exists(os.path.join(seg_dir, "splits_final.json"))
+    assert os.path.exists(os.path.join(seg_dir, "fold_0", "checkpoint_final.pkl"))
 
     # inference on one image
     img_path = os.path.join(image_dir, sorted(os.listdir(image_dir))[0])
