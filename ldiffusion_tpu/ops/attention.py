@@ -173,27 +173,205 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash_trainable(q, k, v, scale, block_q, block_k):
-    """Pallas forward + XLA-derived backward (mathematically identical).
+# ---------------------------------------------------------------------------
+# flash backward (dq/dk/dv) — recomputed probabilities, no S² materialization
+# ---------------------------------------------------------------------------
+
+def _flash_kernel_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k):
+    """Forward that ALSO emits the per-row logsumexp (m + log l) the flash
+    backward needs. Only runs under differentiation (the inference path keeps
+    the lse-free kernel)."""
+    q = q_ref[0]
+    bq, d = q.shape
+    n_kv = k_ref.shape[1] // block_k
+
+    def body(j, carry):
+        acc, m, l = carry
+        k = k_ref[0, pl.ds(j * block_k, block_k), :]
+        v = v_ref[0, pl.ds(j * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * corr + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc_new, m_new, l_new
+
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, n_kv, body, (acc0, m0, l0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
+                                             "interpret"))
+def _flash_attention_bhsd_lse(q, k, v, scale, block_q=512, block_k=1024,
+                              interpret=False):
+    """Like ``_flash_attention_bhsd`` but returns (out, lse) with lse shaped
+    (BH, S, 1) f32."""
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    grid = (bh, sq // block_q)
+    return pl.pallas_call(
+        functools.partial(_flash_kernel_lse, scale=scale, block_k=block_k),
+        out_shape=(jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+                   jax.ShapeDtypeStruct((bh, sq, 1), jnp.float32)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _flash_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                      dq_ref, dk_ref, dv_ref, dq_scr, *, scale, block_q):
+    """One (batch*head, kv-block) grid step of the flash backward.
+
+    Q, dO, LSE and Δ=rowsum(dO∘O) stay RESIDENT in VMEM; K/V stream per grid
+    step. Probabilities are recomputed from LSE (exp(S·scale − lse)), so no
+    S² score matrix ever exists:
+
+        dV_j = Σ_i Pᵢⱼᵀ dOᵢ         dP = dO Vᵀ
+        dSᵢⱼ = Pᵢⱼ ∘ (dPᵢⱼ − Δᵢ)·scale
+        dK_j = Σ_i dSᵢⱼᵀ Qᵢ          dQᵢ += dSᵢⱼ K_j  (scratch accumulator,
+                                      written on the last kv step)
+    """
+    jk = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(jk == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    k = k_ref[0]                      # (BK, D) bf16
+    v = v_ref[0]
+    bk, d = k.shape
+    sq = q_ref.shape[1]
+    n_q = sq // block_q
+
+    def body(i, carry):
+        dk_acc, dv_acc = carry
+        rows = pl.ds(i * block_q, block_q)
+        qi = q_ref[0, rows, :]        # (BQ, D)
+        doi = do_ref[0, rows, :]
+        lsei = lse_ref[0, rows, :]    # (BQ, 1) f32
+        di = delta_ref[0, rows, :]
+        s = jax.lax.dot_general(
+            qi, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s - lsei)         # (BQ, BK) f32, recomputed probs
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p.astype(doi.dtype), doi, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            doi, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - di) * scale    # (BQ, BK) f32
+        dsl = ds.astype(qi.dtype)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            dsl, qi, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dq_scr[rows, :] += jax.lax.dot_general(
+            dsl, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dk_acc, dv_acc
+
+    zeros = jnp.zeros((bk, d), jnp.float32)
+    dk_acc, dv_acc = jax.lax.fori_loop(0, n_q, body, (zeros, zeros))
+    dk_ref[0] = dk_acc.astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+
+    @pl.when(jk == nk - 1)
+    def _write_dq():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
+                                             "interpret"))
+def _flash_backward_bhsd(q, k, v, do, lse, delta, scale, block_q=512,
+                         block_k=512, interpret=False):
+    """(dq, dk, dv) for q,k,v,do: (BH, S, D); lse/delta: (BH, S, 1) f32."""
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    grid = (bh, sk // block_k)
+    spec_q = pl.BlockSpec((1, sq, d), lambda b, j: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_kv = pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0),
+                           memory_space=pltpu.VMEM)
+    spec_row = pl.BlockSpec((1, sq, 1), lambda b, j: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_flash_bwd_kernel, scale=scale, block_q=block_q),
+        out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),
+                   jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)),
+        grid=grid,
+        in_specs=[spec_q, spec_kv, spec_kv, spec_q, spec_row, spec_row],
+        out_specs=(spec_q, spec_kv, spec_kv),
+        scratch_shapes=[pltpu.VMEM((sq, d), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * sq * sk * d,
+            bytes_accessed=(4 * bh * sq * d + 4 * bh * sk * d) * q.dtype.itemsize,
+            transcendentals=bh * sq * sk,
+        ),
+    )(q, k, v, do, lse, delta)
+
+
+def _flash_bwd_fits_pallas(sq: int, sk: int, d: int, block_q: int,
+                           block_k: int) -> bool:
+    """The backward keeps Q/dO/LSE/Δ/dQ-scratch resident: gate on a VMEM
+    budget (resident bytes ≲ 10 MB) and block divisibility."""
+    if sq % block_q or sk % block_k:
+        return False
+    resident = (2 * sq * d * 2          # q + do, bf16
+                + sq * d * 4            # dq scratch, f32
+                + 2 * sq * 128 * 4      # lse + delta (lane-padded f32)
+                + 2 * block_k * d * (2 + 4))  # k/v blocks + dk/dv accs
+    return resident <= 10 * 1024 * 1024
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_trainable(q, k, v, scale, block_q, block_k, interpret=False):
+    """Pallas forward + Pallas flash backward (recomputed probabilities).
 
     The reference training config never reaches this path (it trains at 64²
-    images → 64 latent tokens → XLA attention), but a larger fine-tune must
-    not crash under jax.grad. The XLA backward materializes the score matrix
-    — memory-heavy at 4096 tokens; a flash backward kernel is future work."""
-    return _flash_attention_bhsd(q, k, v, scale, block_q=block_q, block_k=block_k)
-
-
-def _flash_fwd(q, k, v, scale, block_q, block_k):
+    images → 64 latent tokens → XLA attention), but larger fine-tunes
+    differentiate through 4096-token attention — the flash backward keeps
+    peak memory O(S·D) instead of the XLA vjp's O(S²) score matrix."""
     return _flash_attention_bhsd(q, k, v, scale, block_q=block_q,
-                                 block_k=block_k), (q, k, v)
+                                 block_k=block_k, interpret=interpret)
 
 
-def _flash_bwd(scale, block_q, block_k, res, g):
-    q, k, v = res
+def _flash_fwd(q, k, v, scale, block_q, block_k, interpret=False):
+    out, lse = _flash_attention_bhsd_lse(q, k, v, scale, block_q=block_q,
+                                         block_k=block_k, interpret=interpret)
+    return out, (q, k, v, out, lse)
 
+
+def _xla_attention_bwd(q, k, v, g, scale):
+    """XLA-derived backward (materializes S²) — fallback for shapes the
+    Pallas backward does not cover."""
     def ref(q, k, v):
-        # (BH, S, D) single-head XLA attention, same math as the kernel
         s = jnp.einsum("bqd,bkd->bqk", q, k,
                        preferred_element_type=jnp.float32) * scale
         p = jax.nn.softmax(s, axis=-1)
@@ -201,6 +379,21 @@ def _flash_bwd(scale, block_q, block_k, res, g):
 
     _, vjp = jax.vjp(ref, q, k, v)
     return vjp(g)
+
+
+def _flash_bwd(scale, block_q, block_k, interpret, res, g):
+    q, k, v, out, lse = res
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    bwd_bq = min(block_q, 512)
+    bwd_bk = min(block_k, 512)
+    if not _flash_bwd_fits_pallas(sq, sk, d, bwd_bq, bwd_bk):
+        return _xla_attention_bwd(q, k, v, g, scale)
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1, keepdims=True)  # Δ = rowsum(dO ∘ O)
+    return _flash_backward_bhsd(q, k, v, g.astype(q.dtype), lse, delta,
+                                scale, block_q=bwd_bq, block_k=bwd_bk,
+                                interpret=interpret)
 
 
 _flash_trainable.defvjp(_flash_fwd, _flash_bwd)
@@ -217,7 +410,16 @@ def _flash_kvgrid_fwd(q, k, v, scale, block_q, block_k):
                                         block_k=block_k), (q, k, v)
 
 
-_flash_kvgrid_trainable.defvjp(_flash_kvgrid_fwd, _flash_bwd)
+def _flash_kvgrid_bwd(scale, block_q, block_k, res, g):
+    # the kvgrid kernel exists for head dims too large for VMEM residency
+    # (d=512): the resident-Q flash backward does not fit either, so this
+    # path keeps the XLA vjp. It only arises on the (frozen-VAE) inference
+    # side; no training config differentiates through it.
+    q, k, v = res
+    return _xla_attention_bwd(q, k, v, g, scale)
+
+
+_flash_kvgrid_trainable.defvjp(_flash_kvgrid_fwd, _flash_kvgrid_bwd)
 
 
 def dot_product_attention(q, k, v, scale=None):
@@ -285,13 +487,9 @@ def dot_product_attention(q, k, v, scale=None):
         block_k = sk
     else:
         block_k = 1024 if sk % 1024 == 0 else 512
-    if interpret:
-        out = _flash_attention_bhsd(
-            to_bhsd(q, sq), to_bhsd(k, sk), to_bhsd(v, sk), float(scale),
-            block_q=block_q, block_k=block_k, interpret=True
-        )
-    else:
-        out = _flash_trainable(to_bhsd(q, sq), to_bhsd(k, sk), to_bhsd(v, sk),
-                               float(scale), block_q, block_k)
+    # interpret mode routes through the SAME custom_vjp wrapper so CPU tests
+    # exercise the flash backward kernel too
+    out = _flash_trainable(to_bhsd(q, sq), to_bhsd(k, sk), to_bhsd(v, sk),
+                           float(scale), block_q, block_k, interpret)
     out = out.reshape(b, h, sq, d)
     return jnp.transpose(out, (0, 2, 1, 3))

@@ -142,9 +142,11 @@ def test_groupnorm_hybrid_matches_xla_interpret():
 
 
 def test_flash_attention_backward_matches_xla_vjp():
-    """The Pallas attention path must be differentiable (custom_vjp with XLA
-    backward) — a large-resolution fine-tune hits it under jax.grad. The
-    registered backward (_flash_bwd) must equal the vjp of the same math."""
+    """The Pallas attention path must be differentiable — a large-resolution
+    fine-tune hits it under jax.grad. The registered backward (_flash_bwd,
+    now the Pallas flash backward kernel with recomputed probabilities) must
+    equal the vjp of the same math. Head dim 40 = the SD UNet's unpadded
+    per-head dim."""
     import jax
     import jax.numpy as jnp
 
@@ -156,7 +158,10 @@ def test_flash_attention_backward_matches_xla_vjp():
     v = jax.random.normal(jax.random.PRNGKey(2), (2, 512, 40), jnp.float32)
     g = jax.random.normal(jax.random.PRNGKey(3), (2, 512, 40), jnp.float32)
 
-    dq, dk, dv = att._flash_bwd(scale, 256, 512, (q, k, v), g)
+    out, lse = att._flash_attention_bhsd_lse(q, k, v, scale, block_q=256,
+                                             block_k=512, interpret=True)
+    assert att._flash_bwd_fits_pallas(512, 512, 40, 256, 512)
+    dq, dk, dv = att._flash_bwd(scale, 256, 512, True, (q, k, v, out, lse), g)
 
     def ref(q, k, v):
         s = jnp.einsum("bqd,bkd->bqk", q, k,
