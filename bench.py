@@ -158,12 +158,18 @@ def main():
         claim_tpu(max_wait=int(os.environ.get("BENCH_CLAIM_WAIT", "600")))
     except Exception as e:
         print(f"claim_tpu: {e}; proceeding on default backend", file=sys.stderr)
-    # A/B kernel toggles: BENCH_ATTN / BENCH_GN in {auto,xla,pallas}
+    # A/B kernel toggles: BENCH_ATTN / BENCH_GN in {auto,xla,pallas};
+    # BENCH_QUANT in {none,int8} (W8A8 conv/matmul, ops/quant.py)
     from ldiffusion_tpu.ops.attention import set_attention_mode
     from ldiffusion_tpu.ops.groupnorm import set_groupnorm_mode
+    from ldiffusion_tpu.ops.quant import set_quant_mode
 
     set_attention_mode(os.environ.get("BENCH_ATTN", "auto"))
     set_groupnorm_mode(os.environ.get("BENCH_GN", "auto"))
+    # int8 default: shape-gated W8A8 measured 15.48 vs 14.05 patches/s
+    # (+10.2%) with bounded accuracy deltas (tests/test_quant.py, BASELINE.md
+    # round 3); BENCH_QUANT=none reverts to pure bf16
+    set_quant_mode(os.environ.get("BENCH_QUANT", "int8"))
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     best = 0.0

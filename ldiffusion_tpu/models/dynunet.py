@@ -45,6 +45,10 @@ class DynUNetConfig:
     block_type: str = "plain"
     # residual blocks per encoder stage (ResEnc-M schedule when None)
     n_blocks_per_stage: Tuple[int, ...] = ()
+    # jax.checkpoint the decoder conv blocks: recompute them in the backward
+    # instead of keeping activations (the fwd+bwd dominates the 1024² step;
+    # remat trades FLOPs for HBM → larger batches)
+    remat_decoder: bool = False
 
     @property
     def n_stages(self) -> int:
@@ -187,6 +191,10 @@ class DynUNet(nn.Module):
                     x = ConvBlock(feats, name=f"enc_{s}_{c}", **common)(x, train)
                 skips.append(x)
 
+        # remat'd decoder blocks recompute in the backward (static_argnums:
+        # 0 = module self, 2 = the train bool)
+        dec_block = nn.checkpoint(ConvBlock, static_argnums=(2,)) \
+            if cfg.remat_decoder else ConvBlock
         seg_outputs: List[jax.Array] = []
         for d in range(cfg.n_stages - 2, -1, -1):
             feats = cfg.features_per_stage[d]
@@ -195,9 +203,9 @@ class DynUNet(nn.Module):
                                  dtype=self.dtype, param_dtype=self.param_dtype,
                                  name=f"up_{d}")(x)
             x = jnp.concatenate([x, skips[d]], axis=-1)
-            x = ConvBlock(feats, name=f"dec_{d}_0", **common)(x, train)
+            x = dec_block(feats, name=f"dec_{d}_0", **common)(x, train)
             for c in range(1, cfg.n_conv_per_stage):
-                x = ConvBlock(feats, name=f"dec_{d}_{c}", **common)(x, train)
+                x = dec_block(feats, name=f"dec_{d}_{c}", **common)(x, train)
             if cfg.deep_supervision or d == 0:
                 seg = nn.Conv(cfg.num_classes, (1, 1), dtype=self.dtype,
                               param_dtype=self.param_dtype, name=f"seg_{d}")(x)

@@ -11,14 +11,85 @@ self-attention, XLA-fused GroupNorm+SiLU).
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ldiffusion_tpu.ops.attention import dot_product_attention
 from ldiffusion_tpu.ops.groupnorm import groupnorm_silu_trainable
+from ldiffusion_tpu.ops.quant import (
+    conv_shape_gate,
+    int8_conv,
+    int8_matmul,
+    quant_mode,
+)
 from ldiffusion_tpu.ops.resize import upsample_nearest_2x
+
+
+class QConv(nn.Module):
+    """``nn.Conv``-compatible conv (identical param names/shapes/init) with
+    an optional int8 W8A8 forward (``ops/quant.py``, toggled by
+    ``set_quant_mode`` — v5e int8 MXU runs at 2× the bf16 rate). Master
+    params stay in ``param_dtype``; quantization is forward-math only, so
+    checkpoints are mode-independent."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = 0
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kh, kw, x.shape[-1], self.features),
+                            self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.param_dtype) if self.use_bias else None
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = ((pad, pad), (pad, pad))
+        mode = quant_mode()
+        if mode == "int8_all" or (
+                mode == "int8" and conv_shape_gate(x.shape[-1], self.features)):
+            return int8_conv(x, kernel, self.strides, pad, bias,
+                             out_dtype=self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=self.strides, padding=list(pad),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class QDense(nn.Module):
+    """``nn.Dense``-compatible linear with the optional int8 W8A8 forward."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.param_dtype) if self.use_bias else None
+        # matmuls measured ~1.0x under int8 at our shapes (memory-bound,
+        # tools/bench_int8.py) — only the ablation mode quantizes them
+        if quant_mode() == "int8_all":
+            return int8_matmul(x, kernel, bias, out_dtype=self.dtype)
+        y = x.astype(self.dtype) @ kernel.astype(self.dtype)
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
 
 
 class FusedGroupNormSiLU(nn.Module):
@@ -86,18 +157,18 @@ class ResnetBlock(nn.Module):
         gn = lambda name: FusedGroupNormSiLU(self.groups, self.eps, dtype=self.dtype,
                                              param_dtype=self.param_dtype, name=name)
         h = gn("norm1")(x)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    param_dtype=self.param_dtype, name="conv1")(h)
+        h = QConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                  param_dtype=self.param_dtype, name="conv1")(h)
         if self.use_time_emb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype,
                          param_dtype=self.param_dtype, name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
         h = gn("norm2")(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    param_dtype=self.param_dtype, name="conv2")(h)
+        h = QConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                  param_dtype=self.param_dtype, name="conv2")(h)
         if residual.shape[-1] != self.out_channels:
-            residual = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                               param_dtype=self.param_dtype, name="conv_shortcut")(residual)
+            residual = QConv(self.out_channels, (1, 1), dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="conv_shortcut")(residual)
         return h + residual
 
 
@@ -113,8 +184,8 @@ class Downsample(nn.Module):
     @nn.compact
     def __call__(self, x):
         pad = ((0, 1), (0, 1)) if self.asymmetric_pad else ((1, 1), (1, 1))
-        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=pad,
-                       dtype=self.dtype, param_dtype=self.param_dtype, name="conv")(x)
+        return QConv(self.out_channels, (3, 3), strides=(2, 2), padding=pad,
+                     dtype=self.dtype, param_dtype=self.param_dtype, name="conv")(x)
 
 
 class Upsample(nn.Module):
@@ -125,8 +196,8 @@ class Upsample(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = upsample_nearest_2x(x)
-        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                       param_dtype=self.param_dtype, name="conv")(x)
+        return QConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="conv")(x)
 
 
 class Attention(nn.Module):
@@ -144,7 +215,7 @@ class Attention(nn.Module):
         inner = self.num_heads * self.head_dim
         out_ch = self.out_channels or x.shape[-1]
         context = x if context is None else context
-        dense = lambda feat, name, bias: nn.Dense(
+        dense = lambda feat, name, bias: QDense(
             feat, use_bias=bias, dtype=self.dtype, param_dtype=self.param_dtype, name=name
         )
         q = dense(inner, "to_q", self.use_bias)(x)
@@ -171,11 +242,11 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x):
         inner = self.dim * self.mult
-        h = nn.Dense(inner * 2, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in")(x)
+        h = QDense(inner * 2, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in")(x)
         h, gate = jnp.split(h, 2, axis=-1)
         # exact (erf) gelu: diffusers GEGLU uses torch F.gelu, not tanh-approx
         h = h * nn.gelu(gate, approximate=False)
-        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out")(h)
+        return QDense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out")(h)
 
 
 class TransformerBlock(nn.Module):
@@ -220,14 +291,14 @@ class Transformer2D(nn.Module):
         residual = x
         x = FusedGroupNormSiLU(self.groups, 1e-6, silu=False, dtype=self.dtype,
                                param_dtype=self.param_dtype, name="norm")(x)
-        x = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in")(x)
+        x = QConv(c, (1, 1), dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in")(x)
         x = x.reshape(b, h * w, c)
         for i in range(self.depth):
             x = TransformerBlock(self.num_heads, self.head_dim, dtype=self.dtype,
                                  param_dtype=self.param_dtype,
                                  name=f"transformer_blocks_{i}")(x, context)
         x = x.reshape(b, h, w, c)
-        x = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out")(x)
+        x = QConv(c, (1, 1), dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out")(x)
         return x + residual
 
 
@@ -247,7 +318,7 @@ class VAEAttention(nn.Module):
         y = FusedGroupNormSiLU(self.groups, 1e-6, silu=False, dtype=self.dtype,
                                param_dtype=self.param_dtype, name="group_norm")(x)
         y = y.reshape(b, h * w, c)
-        dense = lambda name: nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+        dense = lambda name: QDense(c, dtype=self.dtype, param_dtype=self.param_dtype, name=name)
         q = dense("to_q")(y)[:, :, None, :]  # single head
         k = dense("to_k")(y)[:, :, None, :]
         v = dense("to_v")(y)[:, :, None, :]

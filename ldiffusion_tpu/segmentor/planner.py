@@ -58,6 +58,9 @@ class SegPlan:
     # planner variant, reference resencUNet_planner.py)
     block_type: str = "plain"
     n_blocks_per_stage: Tuple[int, ...] = ()
+    # rematerialize decoder blocks in the backward pass (trades ~recompute
+    # for activation memory; enables larger batches at big patches)
+    remat_decoder: bool = False
 
     def network_config(self) -> DynUNetConfig:
         return DynUNetConfig(
@@ -69,6 +72,7 @@ class SegPlan:
             deep_supervision=self.deep_supervision,
             block_type=self.block_type,
             n_blocks_per_stage=tuple(self.n_blocks_per_stage),
+            remat_decoder=self.remat_decoder,
         )
 
     def to_json(self) -> str:

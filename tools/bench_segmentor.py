@@ -34,11 +34,13 @@ fp = {
 import os
 
 plan = plan_experiment(fp, num_classes=7)
+import dataclasses as _dc
+
 _b = os.environ.get("SEG_BENCH_BATCH")
 if _b:
-    import dataclasses as _dc
-
     plan = _dc.replace(plan, batch_size=int(_b))
+if os.environ.get("SEG_BENCH_REMAT") == "1":
+    plan = _dc.replace(plan, remat_decoder=True)
 
 print(f"plan: patch {plan.patch_size} batch {plan.batch_size} "
       f"features {plan.features_per_stage}", flush=True)
