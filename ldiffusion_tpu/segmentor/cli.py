@@ -305,6 +305,272 @@ def cmd_predict(args) -> str:
 
 
 # ---------------------------------------------------------------------------
+# split plan-and-preprocess phases (nnUNetv2_extract_fingerprint /
+# nnUNetv2_plan_experiment / nnUNetv2_preprocess)
+# ---------------------------------------------------------------------------
+
+def cmd_extract_fingerprint(args) -> str:
+    from ldiffusion_tpu.segmentor.fingerprint import extract_fingerprint
+
+    raw_root = _require(args.raw or env_paths.raw_dir(warn=False),
+                        "--raw", "LDIFFUSION_RAW")
+    pp_root = _require(args.preprocessed or env_paths.preprocessed_dir(warn=False),
+                       "--preprocessed", "LDIFFUSION_PREPROCESSED")
+    ds_dir = find_dataset_dir(raw_root, args.d)
+    ids, images, labels = load_png_cases(ds_dir, "Tr")
+    fp = extract_fingerprint(images, labels)
+    out = _pp_dataset_dir(pp_root, ds_dir)
+    os.makedirs(out, exist_ok=True)
+    path = os.path.join(out, "dataset_fingerprint.json")
+    with open(path, "w") as f:
+        json.dump({k: (v.tolist() if hasattr(v, "tolist") else v)
+                   for k, v in fp.items()}, f, indent=2)
+    print(f"fingerprint → {path}")
+    return path
+
+
+def cmd_plan_experiment(args) -> str:
+    from ldiffusion_tpu.segmentor.planner import plan_experiment
+
+    raw_root = _require(args.raw or env_paths.raw_dir(warn=False),
+                        "--raw", "LDIFFUSION_RAW")
+    pp_root = _require(args.preprocessed or env_paths.preprocessed_dir(warn=False),
+                       "--preprocessed", "LDIFFUSION_PREPROCESSED")
+    ds_dir = find_dataset_dir(raw_root, args.d)
+    out = _pp_dataset_dir(pp_root, ds_dir)
+    fp_path = os.path.join(out, "dataset_fingerprint.json")
+    if not os.path.exists(fp_path):
+        cmd_extract_fingerprint(args)
+    with open(fp_path) as f:
+        fp = json.load(f)
+    lm, dataset_json = _label_manager(ds_dir)
+    plan = plan_experiment(fp, lm.num_segmentation_heads)
+    plan.save(os.path.join(out, "plans.json"))
+    with open(os.path.join(out, "dataset.json"), "w") as f:
+        json.dump(dataset_json, f, indent=2)
+    print(f"plans → {os.path.join(out, 'plans.json')}")
+    return out
+
+
+def cmd_preprocess(args) -> str:
+    from ldiffusion_tpu.segmentor.preprocess import PreprocessedDataset
+
+    raw_root = _require(args.raw or env_paths.raw_dir(warn=False),
+                        "--raw", "LDIFFUSION_RAW")
+    pp_root = _require(args.preprocessed or env_paths.preprocessed_dir(warn=False),
+                       "--preprocessed", "LDIFFUSION_PREPROCESSED")
+    ds_dir = find_dataset_dir(raw_root, args.d)
+    out = _pp_dataset_dir(pp_root, ds_dir)
+    if not os.path.exists(os.path.join(out, "plans.json")):
+        cmd_plan_experiment(args)
+    lm, _ = _label_manager(ds_dir)
+    ids, images, labels = load_png_cases(ds_dir, "Tr")
+    PreprocessedDataset.build(images, labels, _max_label_value(lm) + 1,
+                              case_ids=ids,
+                              directory=os.path.join(out, "ldPlans_2d"))
+    print(f"preprocessed {len(ids)} cases → {out}/ldPlans_2d")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# evaluation / postprocessing / ensembling / best-config
+# (nnUNetv2_evaluate_simple, nnUNetv2_determine_postprocessing,
+#  nnUNetv2_apply_postprocessing, nnUNetv2_ensemble,
+#  nnUNetv2_find_best_configuration, nnUNetv2_accumulate_crossval_results)
+# ---------------------------------------------------------------------------
+
+def _load_seg_folder(folder):
+    from PIL import Image
+
+    files = sorted(f for f in os.listdir(folder) if f.lower().endswith(".png"))
+    return files, [np.asarray(Image.open(os.path.join(folder, f)), np.uint8)
+                   for f in files]
+
+
+def cmd_evaluate_folder(args):
+    """Region-aware folder evaluation (reference
+    ``evaluate_predictions.py:evaluate_simple_entry_point``)."""
+    from ldiffusion_tpu.evaluate import compute_metrics_on_folder
+
+    labels = [int(x) for x in args.l]
+    summary = compute_metrics_on_folder(
+        args.pred_folder, args.gt_folder,
+        num_classes=max(labels) + 1,
+        output_file=args.o or os.path.join(args.pred_folder, "summary.json"),
+        regions_or_labels=labels, ignore_label=args.il)
+    print(f"foreground mean Dice {summary['foreground_mean']['Dice']:.4f}")
+    return summary
+
+
+def cmd_determine_postprocessing(args):
+    """reference ``remove_connected_components.py:
+    entry_point_determine_postprocessing_folder``."""
+    from ldiffusion_tpu.segmentor.postprocess import (
+        determine_postprocessing,
+        save_postprocessing,
+    )
+
+    _, preds = _load_seg_folder(args.i)
+    _, gts = _load_seg_folder(args.ref)
+    n = int(max(int(p.max()) for p in preds + gts)) + 1
+    steps = determine_postprocessing(preds, gts, n)
+    out = args.o or os.path.join(args.i, "postprocessing.json")
+    save_postprocessing(steps, out)
+    print(f"{len(steps)} postprocessing step(s) → {out}")
+    return steps
+
+
+def cmd_apply_postprocessing(args):
+    """reference ``entry_point_apply_postprocessing``."""
+    from PIL import Image
+
+    from ldiffusion_tpu.segmentor.postprocess import (
+        apply_postprocessing,
+        load_postprocessing,
+    )
+
+    steps = load_postprocessing(args.pp_pkl_file)
+    os.makedirs(args.o, exist_ok=True)
+    files, segs = _load_seg_folder(args.i)
+    for f, s in zip(files, segs):
+        Image.fromarray(apply_postprocessing(s, steps)).save(
+            os.path.join(args.o, f))
+    print(f"{len(files)} files postprocessed → {args.o}")
+
+
+def cmd_ensemble(args):
+    """Mean-probability ensembling of prediction folders holding the
+    --save_probabilities npz payloads (reference
+    ``ensembling/ensemble.py:entry_point_ensemble_folders``)."""
+    from PIL import Image
+
+    from ldiffusion_tpu.segmentor.best_config import ensemble_probabilities
+
+    os.makedirs(args.o, exist_ok=True)
+    names = sorted(f for f in os.listdir(args.i[0]) if f.endswith(".npz"))
+    if not names:
+        raise SystemExit(f"no .npz probability files in {args.i[0]} — predict "
+                         f"with --save_probabilities first")
+    for n in names:
+        probs = [np.load(os.path.join(d, n))["probabilities"].astype(np.float32)
+                 for d in args.i]
+        mean = ensemble_probabilities(probs)
+        seg = np.argmax(mean, axis=-1).astype(np.uint8)
+        Image.fromarray(seg).save(os.path.join(args.o, n[:-4] + ".png"))
+        if args.save_npz:
+            np.savez_compressed(os.path.join(args.o, n),
+                                probabilities=mean.astype(np.float16))
+    print(f"ensembled {len(names)} cases from {len(args.i)} folders → {args.o}")
+
+
+def cmd_find_best_configuration(args):
+    """CV-consuming configuration selection (reference
+    ``find_best_configuration_entry_point``)."""
+    from ldiffusion_tpu.segmentor.best_config import (
+        find_best_configuration_from_folds,
+    )
+    from ldiffusion_tpu.segmentor.planner import SegPlan
+    from ldiffusion_tpu.segmentor.preprocess import PreprocessedDataset
+
+    raw_root = _require(args.raw or env_paths.raw_dir(warn=False),
+                        "--raw", "LDIFFUSION_RAW")
+    pp_root = _require(args.preprocessed or env_paths.preprocessed_dir(warn=False),
+                       "--preprocessed", "LDIFFUSION_PREPROCESSED")
+    results_root = _require(args.results or env_paths.results_dir(warn=False),
+                            "--results", "LDIFFUSION_RESULTS")
+    ds_dir = find_dataset_dir(raw_root, args.d)
+    pp_dir = _pp_dataset_dir(pp_root, ds_dir)
+    ds = PreprocessedDataset.load(os.path.join(pp_dir, "ldPlans_2d"))
+    lm, _ = _label_manager(pp_dir)
+    configs = {}
+    for c in args.c:
+        cfg_dir = _results_config_dir(results_root, os.path.basename(ds_dir),
+                                      args.tr, c)
+        # fold CV needs the dataset's splits next to the checkpoints
+        import shutil
+
+        src = os.path.join(pp_dir, "splits_final.json")
+        if os.path.exists(src):
+            shutil.copy(src, os.path.join(cfg_dir, "splits_final.json"))
+        configs[c] = (SegPlan.load(os.path.join(cfg_dir, "plans.json")), cfg_dir)
+    info = find_best_configuration_from_folds(
+        configs, ds, num_classes=lm.num_segmentation_heads,
+        output_json=os.path.join(results_root, os.path.basename(ds_dir),
+                                 "inference_information.json"),
+        use_mirroring=not args.disable_tta)
+    print(f"best configuration: {info['best_configuration']} "
+          f"(fg dice {info['score']:.4f})")
+    return info
+
+
+# ---------------------------------------------------------------------------
+# model sharing / converters / overlays
+# (nnUNetv2_export_model_to_zip, nnUNetv2_install_pretrained_model_from_zip,
+#  nnUNetv2_convert_MSD_dataset, nnUNetv2_plot_overlay_pngs,
+#  nnUNetv2_move_plans_between_datasets)
+# ---------------------------------------------------------------------------
+
+def cmd_export_model(args):
+    from ldiffusion_tpu.segmentor.model_sharing import export_model
+
+    export_model(args.model_dir, args.o)
+    print(f"model exported → {args.o}")
+
+
+def cmd_install_model(args):
+    from ldiffusion_tpu.segmentor.model_sharing import import_model
+
+    out = import_model(args.zip, args.o)
+    print(f"model installed → {out}")
+
+
+def cmd_convert_msd(args):
+    from ldiffusion_tpu.data.converters import convert_msd_dataset
+
+    out = convert_msd_dataset(args.i, args.o)
+    print(f"MSD dataset converted → {out}")
+
+
+def cmd_plot_overlays(args):
+    from PIL import Image
+
+    from ldiffusion_tpu.utils import save_segmentation_overlay
+
+    os.makedirs(args.o, exist_ok=True)
+    segs = {f[:-4]: f for f in os.listdir(args.seg_folder)
+            if f.lower().endswith(".png")}
+    n = 0
+    for f in sorted(os.listdir(args.image_folder)):
+        if not f.lower().endswith(".png"):
+            continue
+        case = f[:-9] if f.endswith("_0000.png") else f[:-4]
+        if case not in segs:
+            continue
+        img = np.asarray(Image.open(
+            os.path.join(args.image_folder, f)).convert("RGB"))
+        seg = np.asarray(Image.open(
+            os.path.join(args.seg_folder, segs[case])), np.uint8)
+        save_segmentation_overlay(img, seg, os.path.join(args.o, f"{case}.png"))
+        n += 1
+    print(f"{n} overlays → {args.o}")
+
+
+def cmd_move_plans(args):
+    import shutil
+
+    pp_root = _require(args.preprocessed or env_paths.preprocessed_dir(warn=False),
+                       "--preprocessed", "LDIFFUSION_PREPROCESSED")
+    raw_root = _require(args.raw or env_paths.raw_dir(warn=False),
+                        "--raw", "LDIFFUSION_RAW")
+    src = _pp_dataset_dir(pp_root, find_dataset_dir(raw_root, args.s))
+    dst = _pp_dataset_dir(pp_root, find_dataset_dir(raw_root, args.t))
+    os.makedirs(dst, exist_ok=True)
+    shutil.copy(os.path.join(src, "plans.json"),
+                os.path.join(dst, "plans.json"))
+    print(f"plans moved {src} → {dst}")
+
+
+# ---------------------------------------------------------------------------
 # argument surface
 # ---------------------------------------------------------------------------
 
@@ -355,6 +621,84 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--raw", default=None)
     pr.add_argument("--results", default=None)
     pr.set_defaults(fn=cmd_predict)
+
+    # split plan-and-preprocess phases
+    for name, fn in (("extract_fingerprint", cmd_extract_fingerprint),
+                     ("plan_experiment", cmd_plan_experiment),
+                     ("preprocess", cmd_preprocess)):
+        sp = sub.add_parser(name, help=f"nnUNetv2_{name} analog")
+        common(sp)
+        sp.set_defaults(fn=fn)
+
+    ev = sub.add_parser("evaluate_folder",
+                        help="region-aware folder metrics (nnUNetv2_evaluate_simple)")
+    ev.add_argument("gt_folder")
+    ev.add_argument("pred_folder")
+    ev.add_argument("-l", nargs="+", required=True, help="labels to score")
+    ev.add_argument("-il", type=int, default=None, help="ignore label")
+    ev.add_argument("-o", default=None)
+    ev.set_defaults(fn=cmd_evaluate_folder)
+
+    dp = sub.add_parser("determine_postprocessing",
+                        help="nnUNetv2_determine_postprocessing analog")
+    dp.add_argument("-i", required=True, help="prediction folder")
+    dp.add_argument("-ref", required=True, help="ground-truth folder")
+    dp.add_argument("-o", default=None)
+    dp.set_defaults(fn=cmd_determine_postprocessing)
+
+    ap = sub.add_parser("apply_postprocessing",
+                        help="nnUNetv2_apply_postprocessing analog")
+    ap.add_argument("-i", required=True)
+    ap.add_argument("-o", required=True)
+    ap.add_argument("-pp_pkl_file", required=True,
+                    help="postprocessing.json from determine_postprocessing")
+    ap.set_defaults(fn=cmd_apply_postprocessing)
+
+    en = sub.add_parser("ensemble", help="nnUNetv2_ensemble analog "
+                                         "(mean of npz probabilities)")
+    en.add_argument("-i", nargs="+", required=True, help="prediction folders")
+    en.add_argument("-o", required=True)
+    en.add_argument("--save_npz", action="store_true")
+    en.set_defaults(fn=cmd_ensemble)
+
+    bc = sub.add_parser("find_best_configuration",
+                        help="nnUNetv2_find_best_configuration analog")
+    common(bc)
+    bc.add_argument("-c", nargs="+", default=["2d"])
+    bc.add_argument("-tr", default="nnUNetTrainer")
+    bc.add_argument("--results", default=None)
+    bc.add_argument("--disable_tta", action="store_true")
+    bc.set_defaults(fn=cmd_find_best_configuration)
+
+    ex = sub.add_parser("export_model", help="nnUNetv2_export_model_to_zip analog")
+    ex.add_argument("model_dir")
+    ex.add_argument("-o", required=True)
+    ex.set_defaults(fn=cmd_export_model)
+
+    im = sub.add_parser("install_model",
+                        help="nnUNetv2_install_pretrained_model_from_zip analog")
+    im.add_argument("zip")
+    im.add_argument("-o", required=True)
+    im.set_defaults(fn=cmd_install_model)
+
+    ms = sub.add_parser("convert_msd", help="nnUNetv2_convert_MSD_dataset analog")
+    ms.add_argument("-i", required=True)
+    ms.add_argument("-o", required=True)
+    ms.set_defaults(fn=cmd_convert_msd)
+
+    ov = sub.add_parser("plot_overlays", help="nnUNetv2_plot_overlay_pngs analog")
+    ov.add_argument("image_folder")
+    ov.add_argument("seg_folder")
+    ov.add_argument("-o", required=True)
+    ov.set_defaults(fn=cmd_plot_overlays)
+
+    mv = sub.add_parser("move_plans",
+                        help="nnUNetv2_move_plans_between_datasets analog")
+    mv.add_argument("-s", type=int, required=True, help="source dataset id")
+    mv.add_argument("-t", type=int, required=True, help="target dataset id")
+    mv.add_argument("--raw", default=None)
+    mv.add_argument("--preprocessed", default=None)
+    mv.set_defaults(fn=cmd_move_plans)
     return p
 
 

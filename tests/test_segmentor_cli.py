@@ -105,3 +105,143 @@ def test_cli_missing_dataset_errors(tmp_path):
     with pytest.raises(FileNotFoundError):
         main(["plan_and_preprocess", "-d", "99", "--raw", raw,
               "--preprocessed", pp])
+
+
+# ---------------------------------------------------------------------------
+# the rest of the reference's console-script surface
+# (model/pyproject.toml:60-85), as subcommands
+# ---------------------------------------------------------------------------
+
+def test_cli_split_phases(tmp_path):
+    """extract_fingerprint → plan_experiment → preprocess compose into the
+    same artifacts plan_and_preprocess produces."""
+    raw, pp, res = _roots(tmp_path)
+    ds_dir = os.path.join(raw, "Dataset004_Test")
+    generate_integration_test_dataset(ds_dir, n_cases=2, size=32,
+                                      num_classes=2, regime="plain")
+    main(["extract_fingerprint", "-d", "4", "--raw", raw, "--preprocessed", pp])
+    pp_dir = os.path.join(pp, "Dataset004_Test")
+    assert os.path.exists(os.path.join(pp_dir, "dataset_fingerprint.json"))
+    main(["plan_experiment", "-d", "4", "--raw", raw, "--preprocessed", pp])
+    assert os.path.exists(os.path.join(pp_dir, "plans.json"))
+    main(["preprocess", "-d", "4", "--raw", raw, "--preprocessed", pp])
+    assert any(f.endswith(".npz")
+               for f in os.listdir(os.path.join(pp_dir, "ldPlans_2d")))
+
+
+def _seg_folders(tmp_path, n=2, size=16):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    pred = tmp_path / "pred"
+    gt = tmp_path / "gt"
+    pred.mkdir(exist_ok=True)
+    gt.mkdir(exist_ok=True)
+    for i in range(n):
+        g = np.zeros((size, size), np.uint8)
+        g[4:10, 4:10] = 1
+        p = g.copy()
+        p[0, 0] = 1  # a spurious component
+        Image.fromarray(g).save(gt / f"case_{i:03d}.png")
+        Image.fromarray(p).save(pred / f"case_{i:03d}.png")
+    return str(pred), str(gt)
+
+
+def test_cli_evaluate_and_postprocessing_roundtrip(tmp_path):
+    import json as _json
+
+    pred, gt = _seg_folders(tmp_path)
+    summary = main(["evaluate_folder", gt, pred, "-l", "1",
+                    "-o", str(tmp_path / "summary.json")])
+    assert "1" in summary["mean"]
+    assert os.path.exists(tmp_path / "summary.json")
+
+    steps = main(["determine_postprocessing", "-i", pred, "-ref", gt,
+                  "-o", str(tmp_path / "pp.json")])
+    assert steps  # removing the spurious component improves dice
+    out = str(tmp_path / "pp_out")
+    main(["apply_postprocessing", "-i", pred, "-o", out,
+          "-pp_pkl_file", str(tmp_path / "pp.json")])
+    from PIL import Image
+    fixed = np.asarray(Image.open(os.path.join(out, "case_000.png")))
+    assert fixed[0, 0] == 0  # spurious component removed
+    assert (fixed[4:10, 4:10] == 1).all()
+
+
+def test_cli_ensemble(tmp_path):
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.mkdir()
+    b.mkdir()
+    # two 3-class probability maps that disagree; the mean decides
+    pa = np.zeros((8, 8, 3), np.float16)
+    pa[..., 1] = 0.9
+    pb = np.zeros((8, 8, 3), np.float16)
+    pb[..., 2] = 0.6
+    pb[..., 1] = 0.4
+    np.savez_compressed(a / "case_000.npz", probabilities=pa)
+    np.savez_compressed(b / "case_000.npz", probabilities=pb)
+    out = str(tmp_path / "ens")
+    main(["ensemble", "-i", str(a), str(b), "-o", out, "--save_npz"])
+    from PIL import Image
+    seg = np.asarray(Image.open(os.path.join(out, "case_000.png")))
+    assert (seg == 1).all()  # mean prob: class1 0.65 vs class2 0.3
+    assert os.path.exists(os.path.join(out, "case_000.npz"))
+
+
+def test_cli_model_sharing_and_overlays_and_move_plans(tmp_path):
+    from PIL import Image
+
+    raw, pp, res = _roots(tmp_path)
+    # model zip round trip over an arbitrary artifact dir
+    model_dir = tmp_path / "model"
+    model_dir.mkdir()
+    (model_dir / "plans.json").write_text("{}")
+    (model_dir / "checkpoint_final.pkl").write_bytes(b"x")
+    zpath = str(tmp_path / "m.zip")
+    main(["export_model", str(model_dir), "-o", zpath])
+    out = str(tmp_path / "installed")
+    main(["install_model", zpath, "-o", out])
+    assert os.path.exists(os.path.join(out, "plans.json"))
+
+    # overlays
+    imgs = tmp_path / "imgs"
+    segs = tmp_path / "segs"
+    imgs.mkdir()
+    segs.mkdir()
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(
+        imgs / "case_000_0000.png")
+    Image.fromarray((np.ones((16, 16)) * 1).astype(np.uint8)).save(
+        segs / "case_000.png")
+    ovl = str(tmp_path / "ovl")
+    main(["plot_overlays", str(imgs), str(segs), "-o", ovl])
+    assert os.path.exists(os.path.join(ovl, "case_000.png"))
+
+    # move plans between datasets
+    for i in (5, 6):
+        generate_integration_test_dataset(
+            os.path.join(raw, f"Dataset{i:03d}_Test"), n_cases=2, size=32,
+            num_classes=2, regime="plain")
+    main(["plan_experiment", "-d", "5", "--raw", raw, "--preprocessed", pp])
+    main(["move_plans", "-s", "5", "-t", "6", "--raw", raw,
+          "--preprocessed", pp])
+    assert os.path.exists(os.path.join(pp, "Dataset006_Test", "plans.json"))
+
+
+@pytest.mark.slow
+def test_cli_find_best_configuration(tmp_path):
+    """Two folds trained via the CLI, then the CV-consuming best-config
+    selection writes inference_information.json."""
+    raw, pp, res = _roots(tmp_path)
+    ds_dir = os.path.join(raw, "Dataset007_Test")
+    generate_integration_test_dataset(ds_dir, n_cases=5, size=32,
+                                      num_classes=2, regime="plain")
+    main(["plan_and_preprocess", "-d", "7", "--raw", raw, "--preprocessed", pp])
+    for f in ("0", "1"):
+        main(["train", "-d", "7", "-f", f, "--epochs", "1", "--iters", "2",
+              "--raw", raw, "--preprocessed", pp, "--results", res])
+    info = main(["find_best_configuration", "-d", "7", "--raw", raw,
+                 "--preprocessed", pp, "--results", res, "--disable_tta"])
+    assert info["best_configuration"] == "2d"
+    assert os.path.exists(os.path.join(res, "Dataset007_Test",
+                                       "inference_information.json"))
