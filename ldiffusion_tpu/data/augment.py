@@ -50,6 +50,10 @@ class AugmentConfig:
     # nnUNetTrainer_onlyMirror01 variant restricts to the first two) — 2D
     # patches use axes 0/1 regardless, 3D honors the restriction
     mirror_axes: tuple = (0, 1, 2)
+    # 3D per-axis rotation bound (reference
+    # configure_rotation_dummyDA_mirroring: quasi-isotropic 3D patches rotate
+    # ±30° about each axis)
+    rotation_max_3d: float = 0.5235987755982988  # pi/6
 
 
 def _affine_coords(h, w, angle, scale):
@@ -211,13 +215,13 @@ def augment_batch(key, data, seg, cfg: AugmentConfig = AugmentConfig()):
 
 
 def augment_batch_3d(key, data, seg, cfg: AugmentConfig = AugmentConfig()):
-    """3D DA: per-axis mirroring + gaussian noise + brightness (jitted).
+    """3D DEVICE DA: per-axis mirroring + gaussian noise (jitted).
 
-    Deviation (documented in PARITY.md): the reference's 3D SpatialTransform
-    also rotates/scales volumes (batchgenerators on CPU worker pools); full
-    3D resampling on-device costs more than the UNet step at typical patch
-    sizes, so the 3D stack keeps the cheap label-exact transforms. data:
-    (B, Z, H, W, C); seg: (B, Z, H, W)."""
+    Rotation/scale for volumes run on the HOST (``HostSpatialAugmenter3D`` →
+    native C++ trilinear resample in the prefetch thread, wired by
+    ``SegmentorTrainer``), mirroring the reference's CPU-worker
+    SpatialTransform — full 3D resampling on-device costs more than the UNet
+    step at typical patch sizes. data: (B, Z, H, W, C); seg: (B, Z, H, W)."""
     def one(k, d, s):
         ks = jax.random.split(k, 5)
         for ax, kk in zip(range(3), ks[:3]):
@@ -289,5 +293,58 @@ class HostSpatialAugmenter:
         if out is None:
             out = affine_augment_batch_numpy(data, seg16, angles, scales, apply,
                                              data_order=self.data_order)
+        d, s = out
+        return d, s.astype(seg.dtype)
+
+
+class HostSpatialAugmenter3D:
+    """Host-side 3D rotation+scale in the prefetch thread (the
+    batchgenerators 3D SpatialTransform analog — the reference rotates
+    volumes ±30° per axis in CPU workers, ``nnUNetTrainer.py:673-795``;
+    closing the r2 "3D spatial DA omitted" deviation). Native multithreaded
+    C++ trilinear resample (``ldiffusion_tpu/native``) with a numpy
+    fallback; pair with a device AugmentConfig whose spatial probabilities
+    are zeroed (``SegmentorTrainer`` does this automatically)."""
+
+    def __init__(self, cfg: AugmentConfig, seed: int = 0, n_threads: int = 4,
+                 data_order: int = 1):
+        import numpy as np
+
+        self.cfg = cfg
+        self.rng = np.random.default_rng(seed)
+        self.n_threads = n_threads
+        self.data_order = data_order
+
+    def __call__(self, data, seg):
+        import numpy as np
+
+        from ldiffusion_tpu.native import (
+            affine_augment_batch_3d_native,
+            affine_augment_batch_3d_numpy,
+        )
+
+        cfg = self.cfg
+        B = data.shape[0]
+        u = self.rng.random((B, 2))
+        rot = u[:, 0] < cfg.p_rotation
+        sc = u[:, 1] < cfg.p_scaling
+        apply = rot | sc
+        if not apply.any():
+            return data, seg
+        rmax = cfg.rotation_max_3d
+        ax = np.where(rot, self.rng.uniform(-rmax, rmax, B), 0.0)
+        ay = np.where(rot, self.rng.uniform(-rmax, rmax, B), 0.0)
+        az = np.where(rot, self.rng.uniform(-rmax, rmax, B), 0.0)
+        scales = np.where(sc, self.rng.uniform(cfg.scale_range[0],
+                                               cfg.scale_range[1], B), 1.0)
+        data = np.ascontiguousarray(data, np.float32)
+        seg16 = np.ascontiguousarray(seg, np.int16)
+        out = affine_augment_batch_3d_native(
+            data, seg16, ax, ay, az, scales, apply,
+            n_threads=self.n_threads, data_order=self.data_order)
+        if out is None:
+            out = affine_augment_batch_3d_numpy(
+                data, seg16, ax, ay, az, scales, apply,
+                data_order=self.data_order)
         d, s = out
         return d, s.astype(seg.dtype)

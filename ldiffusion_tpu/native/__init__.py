@@ -224,3 +224,136 @@ def affine_augment_batch_numpy(data, seg, angles, scales, apply,
         out_s[b] = np.where(ok, seg[b][np.clip(ry, 0, H - 1),
                                        np.clip(rx, 0, W - 1)], 0).astype(seg.dtype)
     return out_d, out_s
+
+
+def _bind_affine_3d(lib):
+    if getattr(lib, "_affine3d_bound", False):
+        return
+    lib.affine_augment_batch_3d.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p),   # datas
+        ctypes.POINTER(ctypes.c_void_p),   # segs
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64,                    # B, D, H, W, C
+        ctypes.POINTER(ctypes.c_double),   # angles_x
+        ctypes.POINTER(ctypes.c_double),   # angles_y
+        ctypes.POINTER(ctypes.c_double),   # angles_z
+        ctypes.POINTER(ctypes.c_double),   # scales
+        ctypes.POINTER(ctypes.c_uint8),    # apply flags
+        ctypes.POINTER(ctypes.c_float),    # out_data
+        ctypes.POINTER(ctypes.c_int16),    # out_seg
+        ctypes.c_int64,                    # n_threads
+        ctypes.c_int64,                    # data_order
+    ]
+    lib.affine_augment_batch_3d.restype = None
+    lib._affine3d_bound = True
+
+
+def affine_augment_batch_3d_native(data: np.ndarray, seg: np.ndarray,
+                                   angles_x, angles_y, angles_z, scales,
+                                   apply, n_threads: int = 4,
+                                   data_order: int = 1):
+    """Host-side 3D rotation(Euler Rx·Ry·Rz)+scale — the batchgenerators 3D
+    SpatialTransform analog (reference ``nnUNetTrainer.py:673-795`` runs it
+    in CPU workers). Trilinear/zero-border data, nearest/zero-border seg
+    (RemoveLabelTransform(-1,0): outside trains as background).
+
+    data: (B, D, H, W, C) float32 contiguous; seg: (B, D, H, W) int16.
+    Returns transformed copies, or None when the library is unavailable.
+    """
+    lib = load_library()
+    if lib is None:
+        return None
+    _bind_affine_3d(lib)
+    B, D, H, W, C = data.shape
+    assert data.dtype == np.float32 and data.flags.c_contiguous
+    assert seg.dtype == np.int16 and seg.flags.c_contiguous
+    img_bytes = D * H * W * C * 4
+    seg_bytes = D * H * W * 2
+    data_ptrs = (ctypes.c_void_p * B)(*[
+        data.ctypes.data + b * img_bytes for b in range(B)])
+    seg_ptrs = (ctypes.c_void_p * B)(*[
+        seg.ctypes.data + b * seg_bytes for b in range(B)])
+    ax = np.ascontiguousarray(angles_x, np.float64)
+    ay = np.ascontiguousarray(angles_y, np.float64)
+    az = np.ascontiguousarray(angles_z, np.float64)
+    sc = np.ascontiguousarray(scales, np.float64)
+    ap = np.ascontiguousarray(apply, np.uint8)
+    out_data = np.empty_like(data)
+    out_seg = np.empty_like(seg)
+    lib.affine_augment_batch_3d(
+        data_ptrs, seg_ptrs, B, D, H, W, C,
+        ax.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ay.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        az.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        sc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ap.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out_data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_seg.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        n_threads, data_order,
+    )
+    return out_data, out_seg
+
+
+def affine_augment_batch_3d_numpy(data, seg, angles_x, angles_y, angles_z,
+                                  scales, apply, data_order: int = 1):
+    """Pure-numpy fallback with identical math (vectorized per volume)."""
+    B, D, H, W, C = data.shape
+    out_d = data.copy()
+    out_s = seg.copy()
+    cz, cy, cx = (D - 1) / 2.0, (H - 1) / 2.0, (W - 1) / 2.0
+    zz, yy, xx = np.mgrid[:D, :H, :W].astype(np.float64)
+    z, y, x = zz - cz, yy - cy, xx - cx
+    for b in range(B):
+        if not apply[b]:
+            continue
+        cxr, sxr = np.cos(angles_x[b]), np.sin(angles_x[b])
+        cyr, syr = np.cos(angles_y[b]), np.sin(angles_y[b])
+        czr, szr = np.cos(angles_z[b]), np.sin(angles_z[b])
+        r00, r01, r02 = cyr * czr, -cyr * szr, syr
+        r10 = cxr * szr + sxr * syr * czr
+        r11 = cxr * czr - sxr * syr * szr
+        r12 = -sxr * cyr
+        r20 = sxr * szr - cxr * syr * czr
+        r21 = sxr * czr + cxr * syr * szr
+        r22 = cxr * cyr
+        inv_s = 1.0 / scales[b]
+        sz = (r00 * z + r10 * y + r20 * x) * inv_s + cz
+        sy = (r01 * z + r11 * y + r21 * x) * inv_s + cy
+        sx = (r02 * z + r12 * y + r22 * x) * inv_s + cx
+        rz = np.round(sz).astype(np.int64)
+        ry = np.round(sy).astype(np.int64)
+        rx = np.round(sx).astype(np.int64)
+        rin = ((rz >= 0) & (rz < D) & (ry >= 0) & (ry < H)
+               & (rx >= 0) & (rx < W))
+        if data_order == 0:
+            vals = data[b][np.clip(rz, 0, D - 1), np.clip(ry, 0, H - 1),
+                           np.clip(rx, 0, W - 1)]
+            out_d[b] = np.where(rin[..., None], vals, 0.0).astype(np.float32)
+        else:
+            z0 = np.floor(sz).astype(np.int64)
+            y0 = np.floor(sy).astype(np.int64)
+            x0 = np.floor(sx).astype(np.int64)
+            fz, fy, fx = sz - z0, sy - y0, sx - x0
+            acc = np.zeros((D, H, W, C), np.float64)
+            for dz in (0, 1):
+                wz = fz if dz else 1.0 - fz
+                zi = z0 + dz
+                okz = (zi >= 0) & (zi < D)
+                for dy in (0, 1):
+                    wy = fy if dy else 1.0 - fy
+                    yi = y0 + dy
+                    oky = okz & (yi >= 0) & (yi < H)
+                    for dx in (0, 1):
+                        wx = fx if dx else 1.0 - fx
+                        xi = x0 + dx
+                        ok = oky & (xi >= 0) & (xi < W)
+                        vals = data[b][np.clip(zi, 0, D - 1),
+                                       np.clip(yi, 0, H - 1),
+                                       np.clip(xi, 0, W - 1)]
+                        acc += (wz * wy * wx * ok)[..., None] * vals
+            out_d[b] = acc.astype(np.float32)
+        out_s[b] = np.where(rin, seg[b][np.clip(rz, 0, D - 1),
+                                        np.clip(ry, 0, H - 1),
+                                        np.clip(rx, 0, W - 1)], 0
+                            ).astype(seg.dtype)
+    return out_d, out_s

@@ -231,3 +231,120 @@ void affine_augment_batch(const float** datas, const int16_t** segs,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Host-side 3D spatial augmentation: Euler rotation (Rx·Ry·Rz) + isotropic
+// scale about the volume center — the batchgenerators SpatialTransform 3D
+// analog (reference nnUNetTrainer.py:673-795 runs it in CPU worker
+// processes; rotation_for_DA is per-axis). Trilinear (zero outside) for
+// data, nearest (zero outside) for seg — the -1/0 convention matches the
+// 2D path (RemoveLabelTransform(-1,0) semantics: outside trains as
+// background).
+
+extern "C" {
+
+void affine_augment_batch_3d(const float** datas, const int16_t** segs,
+                             int64_t B, int64_t D, int64_t H, int64_t W,
+                             int64_t C,
+                             const double* angles_x, const double* angles_y,
+                             const double* angles_z, const double* scales,
+                             const uint8_t* apply,
+                             float* out_data, int16_t* out_seg,
+                             int64_t n_threads, int64_t data_order) {
+    const int64_t img_elems = D * H * W * C;
+    const int64_t seg_elems = D * H * W;
+
+    auto work = [&](int64_t b0, int64_t b1) {
+        for (int64_t b = b0; b < b1; ++b) {
+            const float* din = datas[b];
+            const int16_t* sin_ = segs[b];
+            float* dout = out_data + b * img_elems;
+            int16_t* sout = out_seg + b * seg_elems;
+            if (!apply[b]) {
+                std::memcpy(dout, din, sizeof(float) * img_elems);
+                std::memcpy(sout, sin_, sizeof(int16_t) * seg_elems);
+                continue;
+            }
+            const double cz = (D - 1) / 2.0, cy = (H - 1) / 2.0,
+                         cx = (W - 1) / 2.0;
+            const double ax = angles_x[b], ay = angles_y[b], az = angles_z[b];
+            const double cxr = std::cos(ax), sxr = std::sin(ax);
+            const double cyr = std::cos(ay), syr = std::sin(ay);
+            const double czr = std::cos(az), szr = std::sin(az);
+            // R = Rx(ax)·Ry(ay)·Rz(az); inverse map uses R^T / scale
+            const double r00 = cyr * czr, r01 = -cyr * szr, r02 = syr;
+            const double r10 = cxr * szr + sxr * syr * czr;
+            const double r11 = cxr * czr - sxr * syr * szr;
+            const double r12 = -sxr * cyr;
+            const double r20 = sxr * szr - cxr * syr * czr;
+            const double r21 = sxr * czr + cxr * syr * szr;
+            const double r22 = cxr * cyr;
+            const double inv_s = 1.0 / scales[b];
+            for (int64_t k = 0; k < D; ++k) {
+                const double z = k - cz;
+                for (int64_t i = 0; i < H; ++i) {
+                    const double y = i - cy;
+                    for (int64_t j = 0; j < W; ++j) {
+                        const double x = j - cx;
+                        // inverse rotation = transpose (axes order z,y,x map
+                        // to matrix rows 0,1,2)
+                        const double sz = (r00 * z + r10 * y + r20 * x) * inv_s + cz;
+                        const double sy = (r01 * z + r11 * y + r21 * x) * inv_s + cy;
+                        const double sx = (r02 * z + r12 * y + r22 * x) * inv_s + cx;
+                        float* po = dout + ((k * H + i) * W + j) * C;
+                        const int64_t rz = (int64_t)std::llround(sz);
+                        const int64_t ry = (int64_t)std::llround(sy);
+                        const int64_t rx = (int64_t)std::llround(sx);
+                        const bool rin = (rz >= 0 && rz < D && ry >= 0 &&
+                                          ry < H && rx >= 0 && rx < W);
+                        if (data_order == 0) {
+                            for (int64_t c = 0; c < C; ++c)
+                                po[c] = rin ? din[((rz * H + ry) * W + rx) * C + c]
+                                            : 0.0f;
+                        } else {
+                            const int64_t z0 = (int64_t)std::floor(sz);
+                            const int64_t y0 = (int64_t)std::floor(sy);
+                            const int64_t x0 = (int64_t)std::floor(sx);
+                            const double fz = sz - z0, fy = sy - y0, fx = sx - x0;
+                            for (int64_t c = 0; c < C; ++c) {
+                                double acc = 0.0;
+                                for (int dz = 0; dz < 2; ++dz) {
+                                    const int64_t zz = z0 + dz;
+                                    if (zz < 0 || zz >= D) continue;
+                                    const double wz = dz ? fz : 1.0 - fz;
+                                    for (int dy = 0; dy < 2; ++dy) {
+                                        const int64_t yy = y0 + dy;
+                                        if (yy < 0 || yy >= H) continue;
+                                        const double wy = dy ? fy : 1.0 - fy;
+                                        for (int dx = 0; dx < 2; ++dx) {
+                                            const int64_t xx = x0 + dx;
+                                            if (xx < 0 || xx >= W) continue;
+                                            acc += wz * wy * (dx ? fx : 1.0 - fx) *
+                                                din[((zz * H + yy) * W + xx) * C + c];
+                                        }
+                                    }
+                                }
+                                po[c] = (float)acc;
+                            }
+                        }
+                        sout[(k * H + i) * W + j] =
+                            rin ? sin_[(rz * H + ry) * W + rx] : (int16_t)0;
+                    }
+                }
+            }
+        }
+    };
+
+    const int64_t nt = std::max<int64_t>(1, std::min(n_threads, B));
+    if (nt == 1) { work(0, B); return; }
+    std::vector<std::thread> threads;
+    const int64_t per = (B + nt - 1) / nt;
+    for (int64_t t = 0; t < nt; ++t) {
+        const int64_t b0 = t * per, b1 = std::min(B, b0 + per);
+        if (b0 >= b1) break;
+        threads.emplace_back(work, b0, b1);
+    }
+    for (auto& th : threads) th.join();
+}
+
+}  // extern "C"

@@ -510,6 +510,88 @@ def cmd_find_best_configuration(args):
 #  nnUNetv2_move_plans_between_datasets)
 # ---------------------------------------------------------------------------
 
+def cmd_predict_from_modelfolder(args):
+    """Predict from an EXPLICIT model folder (reference
+    ``predict_entry_point_modelfolder``): the folder holds plans.json,
+    dataset.json and fold_*/checkpoints — no env-root lookup."""
+    from PIL import Image
+
+    from ldiffusion_tpu.segmentor.export import save_probabilities_npz
+    from ldiffusion_tpu.segmentor.planner import SegPlan
+    from ldiffusion_tpu.segmentor.predictor import SlidingWindowPredictor
+
+    cfg_dir = args.m
+    plan = SegPlan.load(os.path.join(cfg_dir, "plans.json"))
+    lm, _ = _label_manager(cfg_dir)
+    ckpts = []
+    for f in args.f:
+        d = os.path.join(cfg_dir, f"fold_{f}")
+        for name in ("checkpoint_best.pkl", "checkpoint_final.pkl"):
+            p = os.path.join(d, name)
+            if os.path.exists(p):
+                ckpts.append(p)
+                break
+    if not ckpts:
+        raise SystemExit(f"no fold checkpoints under {cfg_dir}")
+    predictor = SlidingWindowPredictor.from_checkpoints(
+        plan, ckpts, use_mirroring=not args.disable_tta, label_manager=lm)
+    os.makedirs(args.o, exist_ok=True)
+    n = 0
+    for fn in sorted(os.listdir(args.i)):
+        if not fn.lower().endswith(".png"):
+            continue
+        case = fn[:-9] if fn.endswith("_0000.png") else fn[:-4]
+        img = np.asarray(Image.open(os.path.join(args.i, fn)).convert("RGB"),
+                         np.float32) / 255.0
+        logits = predictor.predict_logits(img)
+        seg = lm.convert_logits_to_segmentation(logits)
+        Image.fromarray(seg.astype(np.uint8)).save(
+            os.path.join(args.o, f"{case}.png"))
+        if args.save_probabilities:
+            save_probabilities_npz(logits, os.path.join(args.o, f"{case}.npz"),
+                                   label_manager=lm)
+        n += 1
+    print(f"{n} predictions → {args.o}")
+    return args.o
+
+
+def cmd_accumulate_crossval_results(args):
+    """Merge per-fold validation summaries into one CV summary.json
+    (reference ``find_best_configuration.py:
+    accumulate_cv_results`` / its entry point): per-case entries concatenate
+    across folds, per-entry means recompute nan-aware."""
+    cfg_dir = args.m
+    folds = sorted(d for d in os.listdir(cfg_dir) if d.startswith("fold_"))
+    per_case = []
+    for d in folds:
+        p = os.path.join(cfg_dir, d, "validation", "summary.json")
+        if not os.path.exists(p):
+            continue
+        with open(p) as f:
+            per_case.extend(json.load(f)["metric_per_case"])
+    if not per_case:
+        raise SystemExit(f"no fold validation summaries under {cfg_dir}")
+    entries = list(per_case[0]["metrics"].keys())
+    mean = {}
+    for e in entries:
+        mean[e] = {}
+        for key in ("Dice", "IoU"):
+            vals = [c["metrics"][e][key] for c in per_case
+                    if not (isinstance(c["metrics"][e][key], float)
+                            and np.isnan(c["metrics"][e][key]))]
+            mean[e][key] = float(np.mean(vals)) if vals else float("nan")
+    fg = [mean[e]["Dice"] for e in entries if e not in ("0",)
+          and not np.isnan(mean[e]["Dice"])]
+    summary = {"metric_per_case": per_case, "mean": mean,
+               "foreground_mean": {"Dice": float(np.mean(fg)) if fg
+                                   else float("nan")}}
+    out = args.o or os.path.join(cfg_dir, "crossval_results_summary.json")
+    with open(out, "w") as f:
+        json.dump(summary, f, indent=2)
+    print(f"CV summary over {len(folds)} folds ({len(per_case)} cases) → {out}")
+    return summary
+
+
 def cmd_export_model(args):
     from ldiffusion_tpu.segmentor.model_sharing import export_model
 
@@ -669,6 +751,22 @@ def build_parser() -> argparse.ArgumentParser:
     bc.add_argument("--results", default=None)
     bc.add_argument("--disable_tta", action="store_true")
     bc.set_defaults(fn=cmd_find_best_configuration)
+
+    pm = sub.add_parser("predict_from_modelfolder",
+                        help="nnUNetv2_predict_from_modelfolder analog")
+    pm.add_argument("-i", required=True)
+    pm.add_argument("-o", required=True)
+    pm.add_argument("-m", required=True, help="model (config) folder")
+    pm.add_argument("-f", nargs="+", default=["0"])
+    pm.add_argument("--save_probabilities", action="store_true")
+    pm.add_argument("--disable_tta", action="store_true")
+    pm.set_defaults(fn=cmd_predict_from_modelfolder)
+
+    ac = sub.add_parser("accumulate_crossval_results",
+                        help="nnUNetv2_accumulate_crossval_results analog")
+    ac.add_argument("-m", required=True, help="model (config) folder with fold_*")
+    ac.add_argument("-o", default=None)
+    ac.set_defaults(fn=cmd_accumulate_crossval_results)
 
     ex = sub.add_parser("export_model", help="nnUNetv2_export_model_to_zip analog")
     ex.add_argument("model_dir")

@@ -85,15 +85,20 @@ class SegmentorTrainer:
         # rotation/scale move to the host prefetch thread (native C++
         # resample — the device gather cost more than the UNet fwd; the
         # reference also runs SpatialTransform on CPU workers); the device
-        # stack keeps the cheap transforms
+        # stack keeps the cheap transforms. 3D volumes get the Euler-rotation
+        # analog (closing the r2 "3D spatial DA omitted" deviation).
         self.host_spatial = None
-        if len(plan.patch_size) == 2 and (self.augment_cfg.p_rotation > 0
-                                          or self.augment_cfg.p_scaling > 0):
+        if self.augment_cfg.p_rotation > 0 or self.augment_cfg.p_scaling > 0:
             import dataclasses as _dc
 
-            from ldiffusion_tpu.data.augment import HostSpatialAugmenter
+            from ldiffusion_tpu.data.augment import (
+                HostSpatialAugmenter,
+                HostSpatialAugmenter3D,
+            )
 
-            self.host_spatial = HostSpatialAugmenter(
+            cls = HostSpatialAugmenter if len(plan.patch_size) == 2 \
+                else HostSpatialAugmenter3D
+            self.host_spatial = cls(
                 self.augment_cfg, seed=config.seed + 17,
                 data_order=0 if getattr(variant, "spatial_order0_data", False)
                 else 1)

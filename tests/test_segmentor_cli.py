@@ -245,3 +245,34 @@ def test_cli_find_best_configuration(tmp_path):
     assert info["best_configuration"] == "2d"
     assert os.path.exists(os.path.join(res, "Dataset007_Test",
                                        "inference_information.json"))
+
+
+@pytest.mark.slow
+def test_cli_modelfolder_predict_and_crossval_accumulate(tmp_path):
+    """predict_from_modelfolder works off an explicit folder, and
+    accumulate_crossval_results merges the fold validation summaries."""
+    raw, pp, res = _roots(tmp_path)
+    ds_dir = os.path.join(raw, "Dataset008_Test")
+    generate_integration_test_dataset(ds_dir, n_cases=5, size=32,
+                                      num_classes=2, regime="plain")
+    main(["plan_and_preprocess", "-d", "8", "--raw", raw, "--preprocessed", pp])
+    for f in ("0", "1"):
+        main(["train", "-d", "8", "-f", f, "--epochs", "1", "--iters", "2",
+              "--raw", raw, "--preprocessed", pp, "--results", res])
+    cfg_dir = os.path.join(res, "Dataset008_Test", "nnUNetTrainer__ldPlans__2d")
+
+    out = str(tmp_path / "mf_preds")
+    main(["predict_from_modelfolder", "-i", os.path.join(ds_dir, "imagesTs"),
+          "-o", out, "-m", cfg_dir, "-f", "0", "1", "--disable_tta"])
+    assert any(f.endswith(".png") for f in os.listdir(out))
+
+    summary = main(["accumulate_crossval_results", "-m", cfg_dir,
+                    "-o", str(tmp_path / "cv.json")])
+    assert os.path.exists(tmp_path / "cv.json")
+    # both folds' validation cases merged
+    n0 = len(json.load(open(os.path.join(cfg_dir, "fold_0", "validation",
+                                         "summary.json")))["metric_per_case"])
+    n1 = len(json.load(open(os.path.join(cfg_dir, "fold_1", "validation",
+                                         "summary.json")))["metric_per_case"])
+    assert len(summary["metric_per_case"]) == n0 + n1
+    assert "Dice" in summary["foreground_mean"]
