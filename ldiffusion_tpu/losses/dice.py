@@ -61,18 +61,26 @@ def soft_dice_loss(logits, targets, loss_mask=None, batch_dice: bool = True,
     return 1.0 - jnp.mean(dc)
 
 
+def _gather_logp(logp, targets):
+    """-log p[target] via a one-hot contraction. ``take_along_axis`` lowers
+    to a serial gather on TPU (profiled at ~32 ms/step on the 2×1024²×7
+    deep-supervision CE — BASELINE.md round 3); the iota-compare one-hot
+    fuses into a vectorized multiply-reduce instead."""
+    c = logp.shape[-1]
+    onehot = jax.nn.one_hot(jnp.clip(targets, 0, c - 1), c, dtype=logp.dtype)
+    return jnp.sum(logp * onehot, axis=-1)
+
+
 def robust_cross_entropy(logits, targets, loss_mask=None, ignore_index: Optional[int] = None):
     """CE over NHWC logits (reference ``training/loss/robust_ce_loss.py:6-15``;
     ignore_index=255 path of ``model/loss.py:177``)."""
-    c = logits.shape[-1]
     valid = jnp.ones(targets.shape, jnp.float32)
     if ignore_index is not None:
         valid = valid * (targets != ignore_index)
     if loss_mask is not None:
         valid = valid * loss_mask.astype(jnp.float32)
-    safe_t = jnp.clip(targets, 0, c - 1)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_t[..., None], axis=-1)[..., 0]
+    nll = -_gather_logp(logp, targets)
     return jnp.sum(nll * valid) / jnp.clip(jnp.sum(valid), 1.0)
 
 
@@ -82,13 +90,11 @@ def topk_cross_entropy(logits, targets, k_percent: float = 10.0, ignore_index=No
     k% pixels. ``label_smoothing`` implements the Topk10LossLS01 variant
     (torch CrossEntropyLoss(label_smoothing=0.1) inside TopKLoss, reference
     ``variants/loss/nnUNetTrainerTopkLoss.py``)."""
-    c = logits.shape[-1]
     valid = jnp.ones(targets.shape, jnp.float32)
     if ignore_index is not None:
         valid = valid * (targets != ignore_index)
-    safe_t = jnp.clip(targets, 0, c - 1)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_t[..., None], axis=-1)[..., 0]
+    nll = -_gather_logp(logp, targets)
     if label_smoothing > 0.0:
         # torch semantics: (1-eps)*nll + eps*mean_c(-logp)
         nll = (1.0 - label_smoothing) * nll \
@@ -102,13 +108,11 @@ def topk_cross_entropy(logits, targets, k_percent: float = 10.0, ignore_index=No
 def focal_loss(logits, targets, alpha: float = 1.0, gamma: float = 2.0, loss_mask=None):
     """Focal loss (fork addition, reference ``compound_losses.py:152-181``;
     also ``model/loss.py:188-204``)."""
-    c = logits.shape[-1]
     valid = jnp.ones(targets.shape, jnp.float32)
     if loss_mask is not None:
         valid = valid * loss_mask.astype(jnp.float32)
-    safe_t = jnp.clip(targets, 0, c - 1)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    ce = -jnp.take_along_axis(logp, safe_t[..., None], axis=-1)[..., 0]
+    ce = -_gather_logp(logp, targets)
     pt = jnp.exp(-ce)
     fl = alpha * (1.0 - pt) ** gamma * ce
     return jnp.sum(fl * valid) / jnp.clip(jnp.sum(valid), 1.0)

@@ -71,18 +71,18 @@ iters = 8
 
 def scan_steps(params, opt_state, data, seg, key):
     def loss_fn(p, d, s_list):
+        # mirrors the trainer's plain-regime loss: RemoveLabelTransform(-1,0)
+        # already ran, so no -1 masking (trainer.py _loss)
         outs = tr.net.apply({"params": p}, d, train=True)
         total = 0.0
         for o, ss in zip(outs, s_list):
-            mask = (ss >= 0).astype(jnp.float32)
-            tgt = jnp.maximum(ss, 0)
-            total = total + soft_dice_loss(o, tgt, loss_mask=mask) + \
-                robust_cross_entropy(o, tgt, loss_mask=mask)
+            total = total + soft_dice_loss(o, ss) + robust_cross_entropy(o, ss)
         return total
 
     def body(carry, k):
         p, o = carry
         d, s = augment_batch(k, data, seg, tr.augment_cfg)
+        s = jnp.maximum(s, 0)
         s_list, cur = [s], s
         for st in plan.strides[1:]:
             if st > 1:
@@ -101,6 +101,12 @@ jfn = jax.jit(scan_steps)
 t0 = time.time()
 _ = float(jfn(tr.state.params, tr.state.opt_state, data, seg, key))
 print(f"scan({iters} steps) compile+run {time.time()-t0:.1f}s", flush=True)
+_trace = os.environ.get("SEG_BENCH_PROFILE")
+if _trace:
+    with jax.profiler.trace(_trace):
+        _ = float(jfn(tr.state.params, tr.state.opt_state, data, seg,
+                      jax.random.fold_in(key, 9)))
+    print(f"trace → {_trace}", flush=True)
 t0 = time.time()
 _ = float(jfn(tr.state.params, tr.state.opt_state, data, seg,
               jax.random.fold_in(key, 7)))
