@@ -338,15 +338,17 @@ def _flash_backward_bhsd(q, k, v, do, lse, delta, scale, block_q=512,
 
 
 def _flash_bwd_fits_pallas(sq: int, sk: int, d: int, block_q: int,
-                           block_k: int) -> bool:
+                           block_k: int, itemsize: int = 2) -> bool:
     """The backward keeps Q/dO/LSE/Δ/dQ-scratch resident: gate on a VMEM
-    budget (resident bytes ≲ 10 MB) and block divisibility."""
+    budget (resident bytes ≲ 10 MB) and block divisibility. ``itemsize`` is
+    the input dtype width (bf16 in production; f32 in tests doubles the
+    residency)."""
     if sq % block_q or sk % block_k:
         return False
-    resident = (2 * sq * d * 2          # q + do, bf16
+    resident = (2 * sq * d * itemsize   # q + do
                 + sq * d * 4            # dq scratch, f32
                 + 2 * sq * 128 * 4      # lse + delta (lane-padded f32)
-                + 2 * block_k * d * (2 + 4))  # k/v blocks + dk/dv accs
+                + 2 * block_k * d * (itemsize + 4))  # k/v blocks + dk/dv accs
     return resident <= 10 * 1024 * 1024
 
 
@@ -387,7 +389,8 @@ def _flash_bwd(scale, block_q, block_k, interpret, res, g):
     sk = k.shape[1]
     bwd_bq = min(block_q, 512)
     bwd_bk = min(block_k, 512)
-    if not _flash_bwd_fits_pallas(sq, sk, d, bwd_bq, bwd_bk):
+    if not _flash_bwd_fits_pallas(sq, sk, d, bwd_bq, bwd_bk,
+                                  itemsize=q.dtype.itemsize):
         return _xla_attention_bwd(q, k, v, g, scale)
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1, keepdims=True)  # Δ = rowsum(dO ∘ O)

@@ -14,6 +14,11 @@ a pure runtime flag.
 The reference has no quantization (fp32 CUDA throughout, reference
 ``ldiffusion.py:66-70``); this is a TPU-native performance feature, OFF by
 default and A/B-gated on accuracy (see tests/test_quant.py and BASELINE.md).
+
+INFERENCE-ONLY: ``jnp.round`` has zero gradient, so training under an int8
+mode would silently produce zero weight gradients through quantized layers
+(a straight-through estimator is not implemented). Keep the mode "none"
+for any differentiated step — the trainers never flip it.
 """
 from __future__ import annotations
 
