@@ -317,22 +317,9 @@ class LDiffusionModel:
         predictor fold-ensembles them by logit averaging (reference
         ``predict_from_raw_data.py:459-494``); flat layouts (no fold dirs)
         keep working."""
-        import glob as _glob
+        from ldiffusion_tpu.segmentor.predictor import find_fold_checkpoints
 
-        dirs = sorted(d for d in _glob.glob(os.path.join(segmentor_weight,
-                                                         "fold_*"))
-                      if os.path.isdir(d)) or [segmentor_weight]
-        ckpts = []
-        for d in dirs:
-            for name in ("checkpoint_best.pkl", "checkpoint_final.pkl"):
-                p = os.path.join(d, name)
-                if os.path.exists(p):
-                    ckpts.append(p)
-                    break
-        if not ckpts:
-            raise FileNotFoundError(
-                f"no checkpoint_best/final.pkl under {segmentor_weight}")
-        return ckpts
+        return find_fold_checkpoints(segmentor_weight)
 
     def inference_tissue(self, image_path, ldiffusion_weight, segmentor_weight,
                          num_classes, output_path: Optional[str] = None,

@@ -85,14 +85,19 @@ def robust_cross_entropy(logits, targets, loss_mask=None, ignore_index: Optional
 
 
 def topk_cross_entropy(logits, targets, k_percent: float = 10.0, ignore_index=None,
-                       label_smoothing: float = 0.0):
+                       label_smoothing: float = 0.0, loss_mask=None):
     """TopK CE (reference ``robust_ce_loss.py:18-31``): mean over the hardest
     k% pixels. ``label_smoothing`` implements the Topk10LossLS01 variant
     (torch CrossEntropyLoss(label_smoothing=0.1) inside TopKLoss, reference
-    ``variants/loss/nnUNetTrainerTopkLoss.py``)."""
+    ``variants/loss/nnUNetTrainerTopkLoss.py``). ``loss_mask``/``ignore_index``
+    zero ignored pixels BEFORE the top-k selection — the torch reference gets
+    this from CrossEntropyLoss(ignore_index); without it, high-loss ignore
+    pixels would flood the hardest-k% set."""
     valid = jnp.ones(targets.shape, jnp.float32)
     if ignore_index is not None:
         valid = valid * (targets != ignore_index)
+    if loss_mask is not None:
+        valid = valid * loss_mask.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -_gather_logp(logp, targets)
     if label_smoothing > 0.0:

@@ -61,8 +61,10 @@ def conv_shape_gate(cin: int, cout: int) -> bool:
 
 
 def _sym_quant(x, axes, dtype=jnp.int8):
-    """Symmetric int8 quantization along all axes EXCEPT ``axes`` (the kept
-    scale axes). Returns (q, scale) with x ≈ q * scale."""
+    """Symmetric int8 quantization. ``axes`` are the REDUCED axes of the
+    amax (one scale per coordinate of the remaining axes — e.g. conv weights
+    pass axes=(0, 1, 2) to keep a per-Cout scale). Returns (q, scale) with
+    x ≈ q * scale."""
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axes, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / 127.0
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(dtype)

@@ -27,7 +27,30 @@ def ensemble_probabilities(prob_list: Sequence[np.ndarray]) -> np.ndarray:
 
 
 def _fg_dice(preds: Sequence[np.ndarray], gts: Sequence[np.ndarray],
-             num_classes: int) -> float:
+             num_classes: int, label_manager=None) -> float:
+    """Foreground-mean dice. With a label manager the score is computed per
+    label/region via set-membership masks with ignore masking (the regimes'
+    scoring rule, reference ``evaluate_predictions.py:77-120``); plain path
+    uses a pooled confusion matrix."""
+    assert len(preds) == len(gts), (len(preds), len(gts))
+    if label_manager is not None:
+        from ldiffusion_tpu.evaluate import _region_mask
+
+        ig = label_manager.ignore_label
+        dices = []
+        for r in label_manager.labels_or_regions_for_eval:
+            tp = fp = fn = 0.0
+            for p, g in zip(preds, gts):
+                use = np.ones(g.shape, bool) if ig is None else g != ig
+                mr = _region_mask(g, r)
+                mp = _region_mask(p, r)
+                tp += float(np.sum(mr & mp & use))
+                fp += float(np.sum(~mr & mp & use))
+                fn += float(np.sum(mr & ~mp & use))
+            denom = 2 * tp + fp + fn
+            if denom > 0:
+                dices.append(2 * tp / denom)
+        return float(np.mean(dices)) if dices else float("nan")
     cm = np.zeros((num_classes, num_classes), np.int64)
     for p, g in zip(preds, gts):
         cm += confusion_matrix(p, g, num_classes)
@@ -40,20 +63,31 @@ def find_best_configuration(
     num_classes: int,
     allow_ensembling: bool = True,
     output_json: Optional[str] = None,
+    label_manager=None,
 ) -> Dict:
     """config_probs: {config_name: [per-case (H, W, C) probability maps]}.
 
-    Returns the inference-information dict (and writes it when
-    ``output_json`` is given)."""
+    With a ``label_manager`` the probability maps are converted through the
+    regime's segmentation rule (regions_class_order painting for regions —
+    raw argmax on sigmoid region heads would be wrong) and scored with
+    region/ignore-aware dice. Returns the inference-information dict (and
+    writes it when ``output_json`` is given)."""
     results: Dict[str, float] = {}
     seg_cache: Dict[str, List[np.ndarray]] = {}
 
     def segs_of(probs: List[np.ndarray]) -> List[np.ndarray]:
+        if label_manager is not None:
+            return [label_manager.convert_probabilities_to_segmentation(p)
+                    for p in probs]
         return [np.argmax(p, axis=-1).astype(np.uint8) for p in probs]
 
+    n_cases = len(gts)
     for name, probs in config_probs.items():
+        assert len(probs) == n_cases, \
+            f"config {name}: {len(probs)} cases vs {n_cases} GTs"
         seg_cache[name] = segs_of(probs)
-        results[name] = _fg_dice(seg_cache[name], gts, num_classes)
+        results[name] = _fg_dice(seg_cache[name], gts, num_classes,
+                                 label_manager)
 
     if allow_ensembling and len(config_probs) > 1:
         for a, b in itertools.combinations(sorted(config_probs), 2):
@@ -61,10 +95,19 @@ def find_best_configuration(
             probs = [ensemble_probabilities([pa, pb])
                      for pa, pb in zip(config_probs[a], config_probs[b])]
             seg_cache[name] = segs_of(probs)
-            results[name] = _fg_dice(seg_cache[name], gts, num_classes)
+            results[name] = _fg_dice(seg_cache[name], gts, num_classes,
+                                     label_manager)
 
     best = max(results, key=results.get)
-    pp_steps = determine_postprocessing(seg_cache[best], list(gts), num_classes)
+    # the CM-based pp scorer needs a class count covering every VALUE in the
+    # (painted) predictions and GTs
+    n_pp = num_classes
+    if label_manager is not None:
+        vals = list(label_manager.all_labels)
+        if label_manager.has_ignore_label:
+            vals.append(label_manager.ignore_label)
+        n_pp = max(vals) + 1
+    pp_steps = determine_postprocessing(seg_cache[best], list(gts), n_pp)
 
     info = {
         "best_configuration": best,
@@ -82,7 +125,8 @@ def find_best_configuration(
 
 
 def collect_fold_cv_predictions(plan, dataset_dir: str, pp_dataset,
-                                use_mirroring: bool = True):
+                                use_mirroring: bool = True,
+                                label_manager=None):
     """Cross-validation probability maps for one configuration: every
     ``fold_<f>`` checkpoint predicts ITS OWN validation split (the reference
     scores configs on the union of per-fold validation predictions,
@@ -98,7 +142,10 @@ def collect_fold_cv_predictions(plan, dataset_dir: str, pp_dataset,
 
     import numpy as np
 
-    from ldiffusion_tpu.segmentor.predictor import SlidingWindowPredictor
+    from ldiffusion_tpu.segmentor.predictor import (
+        SlidingWindowPredictor,
+        find_fold_checkpoints,
+    )
     from ldiffusion_tpu.segmentor.splits import load_or_create_splits
 
     splits = load_or_create_splits(os.path.join(dataset_dir,
@@ -109,16 +156,16 @@ def collect_fold_cv_predictions(plan, dataset_dir: str, pp_dataset,
         fold = int(os.path.basename(d).split("_")[1])
         if fold >= len(splits):
             continue
-        ckpt = None
-        for name in ("checkpoint_best.pkl", "checkpoint_final.pkl"):
-            p = os.path.join(d, name)
-            if os.path.exists(p):
-                ckpt = p
-                break
-        if ckpt is None:
+        try:
+            ckpt = find_fold_checkpoints(dataset_dir, folds=[fold])[0]
+        except FileNotFoundError:
             continue
+        # the label manager routes regions/ignore regimes through the
+        # regime's inference nonlin (sigmoid for regions) so the probability
+        # maps feed the painted-segmentation scoring downstream
         predictor = SlidingWindowPredictor.from_checkpoints(
-            plan, [ckpt], use_mirroring=use_mirroring)
+            plan, [ckpt], use_mirroring=use_mirroring,
+            label_manager=label_manager)
         for k in splits[fold]["val"]:
             case = pp_dataset[k]
             keys.append(k)
@@ -131,27 +178,34 @@ def collect_fold_cv_predictions(plan, dataset_dir: str, pp_dataset,
 def find_best_configuration_from_folds(configs, pp_dataset, num_classes: int,
                                        allow_ensembling: bool = True,
                                        output_json: Optional[str] = None,
-                                       use_mirroring: bool = True) -> Dict:
+                                       use_mirroring: bool = True,
+                                       label_manager=None) -> Dict:
     """The CV-consuming ``find_best_configuration`` (reference
     ``evaluation/find_best_configuration.py:1-333``): score every trained
     configuration by its cross-validation predictions (each fold predicting
     its own validation split), try pairwise prob-mean ensembles, pick the
     winner, determine postprocessing, write inference_information.json.
 
-    configs: {config_name: (plan, dataset_dir with fold_* checkpoints)}.
+    configs: {config_name: (plan, dataset_dir with fold_* checkpoints)};
+    pass the dataset's ``label_manager`` for regions/ignore regimes (their
+    probabilities paint through regions_class_order and score with ignore
+    masking).
     """
     config_probs: Dict[str, List] = {}
     gts = None
     for name, (plan, dataset_dir) in configs.items():
         keys, probs, fold_gts = collect_fold_cv_predictions(
-            plan, dataset_dir, pp_dataset, use_mirroring=use_mirroring)
+            plan, dataset_dir, pp_dataset, use_mirroring=use_mirroring,
+            label_manager=label_manager)
         order = np.argsort(keys)
         config_probs[name] = [probs[i] for i in order]
         g = [fold_gts[i] for i in order]
-        assert gts is None or all(
-            np.array_equal(a, b) for a, b in zip(gts, g)), \
+        # zip() would silently truncate — equal case counts checked first
+        assert gts is None or (len(gts) == len(g) and all(
+            np.array_equal(a, b) for a, b in zip(gts, g))), \
             "configurations disagree on CV case coverage"
         gts = g
     return find_best_configuration(config_probs, gts, num_classes,
                                    allow_ensembling=allow_ensembling,
-                                   output_json=output_json)
+                                   output_json=output_json,
+                                   label_manager=label_manager)

@@ -257,7 +257,10 @@ def cmd_predict(args) -> str:
 
     from ldiffusion_tpu.segmentor.export import save_probabilities_npz
     from ldiffusion_tpu.segmentor.planner import SegPlan
-    from ldiffusion_tpu.segmentor.predictor import SlidingWindowPredictor
+    from ldiffusion_tpu.segmentor.predictor import (
+        SlidingWindowPredictor,
+        find_fold_checkpoints,
+    )
 
     results_root = _require(args.results or env_paths.results_dir(warn=False),
                             "--results", "LDIFFUSION_RESULTS")
@@ -269,16 +272,7 @@ def cmd_predict(args) -> str:
         raise SystemExit(f"{cfg_dir} missing — train first")
     plan = SegPlan.load(os.path.join(cfg_dir, "plans.json"))
     lm, _ = _label_manager(cfg_dir)
-    ckpts: List[str] = []
-    for f in args.f:
-        d = os.path.join(cfg_dir, f"fold_{f}")
-        for name in ("checkpoint_best.pkl", "checkpoint_final.pkl"):
-            p = os.path.join(d, name)
-            if os.path.exists(p):
-                ckpts.append(p)
-                break
-    if not ckpts:
-        raise SystemExit(f"no fold checkpoints under {cfg_dir} for folds {args.f}")
+    ckpts = find_fold_checkpoints(cfg_dir, folds=args.f)
     predictor = SlidingWindowPredictor.from_checkpoints(
         plan, ckpts, use_mirroring=not args.disable_tta, label_manager=lm)
 
@@ -497,7 +491,7 @@ def cmd_find_best_configuration(args):
         configs, ds, num_classes=lm.num_segmentation_heads,
         output_json=os.path.join(results_root, os.path.basename(ds_dir),
                                  "inference_information.json"),
-        use_mirroring=not args.disable_tta)
+        use_mirroring=not args.disable_tta, label_manager=lm)
     print(f"best configuration: {info['best_configuration']} "
           f"(fg dice {info['score']:.4f})")
     return info
@@ -518,21 +512,15 @@ def cmd_predict_from_modelfolder(args):
 
     from ldiffusion_tpu.segmentor.export import save_probabilities_npz
     from ldiffusion_tpu.segmentor.planner import SegPlan
-    from ldiffusion_tpu.segmentor.predictor import SlidingWindowPredictor
+    from ldiffusion_tpu.segmentor.predictor import (
+        SlidingWindowPredictor,
+        find_fold_checkpoints,
+    )
 
     cfg_dir = args.m
     plan = SegPlan.load(os.path.join(cfg_dir, "plans.json"))
     lm, _ = _label_manager(cfg_dir)
-    ckpts = []
-    for f in args.f:
-        d = os.path.join(cfg_dir, f"fold_{f}")
-        for name in ("checkpoint_best.pkl", "checkpoint_final.pkl"):
-            p = os.path.join(d, name)
-            if os.path.exists(p):
-                ckpts.append(p)
-                break
-    if not ckpts:
-        raise SystemExit(f"no fold checkpoints under {cfg_dir}")
+    ckpts = find_fold_checkpoints(cfg_dir, folds=args.f)
     predictor = SlidingWindowPredictor.from_checkpoints(
         plan, ckpts, use_mirroring=not args.disable_tta, label_manager=lm)
     os.makedirs(args.o, exist_ok=True)

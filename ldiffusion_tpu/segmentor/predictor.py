@@ -65,6 +65,34 @@ def gaussian_importance_map(patch: Tuple[int, int], sigma_scale: float = 1.0 / 8
     return g.astype(np.float32)
 
 
+def find_fold_checkpoints(config_dir: str, folds=None) -> List[str]:
+    """Best (falling back to final) checkpoint per ``fold_*`` dir — the one
+    shared implementation of per-fold checkpoint discovery (reference loads
+    ``checkpoint_best.pth`` per fold, ``predict_from_raw_data.py:78-125``).
+    ``folds=None`` takes every fold dir present; a flat layout (no fold
+    dirs) is searched directly. Raises when nothing is found."""
+    import glob as _glob
+    import os as _os
+
+    if folds is None:
+        dirs = sorted(d for d in _glob.glob(_os.path.join(config_dir, "fold_*"))
+                      if _os.path.isdir(d)) or [config_dir]
+    else:
+        dirs = [_os.path.join(config_dir, f"fold_{f}") for f in folds]
+    ckpts = []
+    for d in dirs:
+        for name in ("checkpoint_best.pkl", "checkpoint_final.pkl"):
+            p = _os.path.join(d, name)
+            if _os.path.exists(p):
+                ckpts.append(p)
+                break
+    if not ckpts:
+        raise FileNotFoundError(
+            f"no checkpoint_best/final.pkl under {config_dir} "
+            f"(folds={folds if folds is not None else 'all'})")
+    return ckpts
+
+
 class SlidingWindowPredictor:
     def __init__(self, plan, params, use_gaussian: bool = True,
                  use_mirroring: bool = True, dtype=jnp.bfloat16,

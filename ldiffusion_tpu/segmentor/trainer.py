@@ -77,6 +77,13 @@ class SegmentorTrainer:
         if variant is not None:
             config = variant.config
             augment = augment or variant.augment
+            # dimension-dependent mirror restriction (onlyMirror01: (0,) in 2D)
+            if variant.mirror_axes_2d is not None and len(plan.patch_size) == 2 \
+                    and augment is not None:
+                import dataclasses as _dc0
+
+                augment = _dc0.replace(augment,
+                                       mirror_axes=variant.mirror_axes_2d)
         self.plan = plan
         self.cfg = config
         self.mesh = mesh
@@ -239,13 +246,14 @@ class SegmentorTrainer:
             if loss_name == "topk10":
                 from ldiffusion_tpu.losses.dice import topk_cross_entropy
                 return topk_cross_entropy(logits, tgt,
-                                          label_smoothing=label_smoothing)
+                                          label_smoothing=label_smoothing,
+                                          loss_mask=mask)
             if loss_name == "dc_and_topk10":
                 from ldiffusion_tpu.losses.dice import topk_cross_entropy
                 dc = soft_dice_loss(logits, tgt, loss_mask=mask,
                                     batch_dice=self.plan.batch_dice,
                                     smooth=smooth)
-                return dc + topk_cross_entropy(logits, tgt)
+                return dc + topk_cross_entropy(logits, tgt, loss_mask=mask)
             if loss_name == "dc_and_focal":
                 from ldiffusion_tpu.losses.dice import dc_and_focal_loss
                 return dc_and_focal_loss(logits, tgt, loss_mask=mask,

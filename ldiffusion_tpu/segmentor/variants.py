@@ -50,6 +50,10 @@ class TrainerVariant:
     # order_resampling_data=0; *Segord0/_DASegOrd0: order_resampling_seg=0 —
     # seg already resamples nearest here, so only the data order is a knob)
     spatial_order0_data: bool = False
+    # dimension-dependent mirror restriction (reference
+    # nnUNetTrainer_onlyMirror01: axes (0, 1) for 3D but (0,) for 2D —
+    # the trainer applies this override when the plan is 2D)
+    mirror_axes_2d: Optional[Tuple[int, ...]] = None
 
 
 _NO_DA = AugmentConfig(p_rotation=0, p_scaling=0, p_noise=0, p_blur=0,
@@ -167,9 +171,10 @@ def get_variant(name: str = "default",
         aug = dataclasses.replace(aug, p_mirror=0)
         mirror = False
     if "onlyMirror01" in name:
-        # restrict mirroring to the first two spatial axes (identity in 2D;
-        # 3D volumes stop mirroring the W axis)
+        # reference: mirror axes (0, 1) for 3D, (0,) ONLY for 2D
+        # (nnUNetTrainer_onlyMirror01 docstring/dim branch)
         aug = dataclasses.replace(aug, mirror_axes=(0, 1))
+        kw["mirror_axes_2d"] = (0,)
     if name in ("nnUNetTrainerDAOrd0", "nnUNetTrainerDA5ord0"):
         # order-0 DATA resampling in the spatial transform (reference
         # nnUNetTrainerDAOrd0: order_resampling_data=0, order_resampling_seg=0)
@@ -200,17 +205,15 @@ def get_variant(name: str = "default",
         sched = "cosine"
     if "Adam" in name or "Adan" in name:
         # AdamW with the trainer's lr unless an explicit lr suffix is given
-        # (reference variants/optimizer/nnUNetTrainerAdam.py: 1en3 → 1e-3,
-        # 3en4 → 3e-4, Adan1en1 → 1e-1)
+        # (reference variants/optimizer/nnUNetTrainerAdam.py: the BARE
+        # classes keep self.initial_lr = 1e-2; only 1en3/3en4/1en1 override)
         opt = "adam"
-        lr = 3e-4
         if "1en3" in name:
-            lr = 1e-3
+            cfg = dataclasses.replace(cfg, initial_lr=1e-3)
         elif "3en4" in name:
-            lr = 3e-4
+            cfg = dataclasses.replace(cfg, initial_lr=3e-4)
         elif "1en1" in name:
-            lr = 1e-1
-        cfg = dataclasses.replace(cfg, initial_lr=lr)
+            cfg = dataclasses.replace(cfg, initial_lr=1e-1)
     if "NoDeepSupervision" in name:
         cfg = dataclasses.replace(cfg, deep_supervision=False)
 

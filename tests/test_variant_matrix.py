@@ -51,7 +51,9 @@ def test_da_family():
     # seg-order-only variants: distinct names, data order unchanged
     assert not get_variant("nnUNetTrainer_DASegOrd0").spatial_order0_data
     assert not get_variant("nnUNetTrainerDA5Segord0").spatial_order0_data
-    assert get_variant("nnUNetTrainer_onlyMirror01").augment.mirror_axes == (0, 1)
+    om = get_variant("nnUNetTrainer_onlyMirror01")
+    assert om.augment.mirror_axes == (0, 1)   # 3D: axes 0, 1
+    assert om.mirror_axes_2d == (0,)          # 2D: axis 0 ONLY (reference)
 
 
 def test_loss_family():
@@ -67,7 +69,12 @@ def test_loss_family():
 
 
 def test_optimizer_family():
-    for name, lr in (("nnUNetTrainerAdam", 3e-4),
+    # the BARE Adam/VanillaAdam/Adan classes keep the trainer's base lr
+    # (reference nnUNetTrainerAdam.py: self.initial_lr stays 1e-2); only
+    # the explicit lr-suffixed subclasses override it
+    for name, lr in (("nnUNetTrainerAdam", 1e-2),
+                     ("nnUNetTrainerVanillaAdam", 1e-2),
+                     ("nnUNetTrainerAdan", 1e-2),
                      ("nnUNetTrainerAdam1en3", 1e-3),
                      ("nnUNetTrainerAdam3en4", 3e-4),
                      ("nnUNetTrainerVanillaAdam1en3", 1e-3),
