@@ -435,11 +435,19 @@ def cmd_apply_postprocessing(args):
 def cmd_ensemble(args):
     """Mean-probability ensembling of prediction folders holding the
     --save_probabilities npz payloads (reference
-    ``ensembling/ensemble.py:entry_point_ensemble_folders``)."""
+    ``ensembling/ensemble.py:entry_point_ensemble_folders`` — the reference
+    paints the merged probabilities through the label manager, so regions
+    regimes need ``-d`` to locate the dataset.json; without it the plain
+    argmax rule applies)."""
     from PIL import Image
 
     from ldiffusion_tpu.segmentor.best_config import ensemble_probabilities
 
+    lm = None
+    if args.d is not None:
+        raw_root = _require(args.raw or env_paths.raw_dir(warn=False),
+                            "--raw", "LDIFFUSION_RAW")
+        lm, _ = _label_manager(find_dataset_dir(raw_root, args.d))
     os.makedirs(args.o, exist_ok=True)
     names = sorted(f for f in os.listdir(args.i[0]) if f.endswith(".npz"))
     if not names:
@@ -449,7 +457,10 @@ def cmd_ensemble(args):
         probs = [np.load(os.path.join(d, n))["probabilities"].astype(np.float32)
                  for d in args.i]
         mean = ensemble_probabilities(probs)
-        seg = np.argmax(mean, axis=-1).astype(np.uint8)
+        if lm is not None:
+            seg = lm.convert_probabilities_to_segmentation(mean).astype(np.uint8)
+        else:
+            seg = np.argmax(mean, axis=-1).astype(np.uint8)
         Image.fromarray(seg).save(os.path.join(args.o, n[:-4] + ".png"))
         if args.save_npz:
             np.savez_compressed(os.path.join(args.o, n),
@@ -728,6 +739,10 @@ def build_parser() -> argparse.ArgumentParser:
                                          "(mean of npz probabilities)")
     en.add_argument("-i", nargs="+", required=True, help="prediction folders")
     en.add_argument("-o", required=True)
+    en.add_argument("-d", type=int, default=None,
+                    help="dataset id — REQUIRED for regions regimes so the "
+                         "merged probabilities paint through the label manager")
+    en.add_argument("--raw", default=None)
     en.add_argument("--save_npz", action="store_true")
     en.set_defaults(fn=cmd_ensemble)
 

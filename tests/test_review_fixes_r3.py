@@ -109,3 +109,28 @@ def test_fold_checkpoint_discovery_shared(tmp_path):
     assert len(find_fold_checkpoints(str(flat))) == 1
     with pytest.raises(FileNotFoundError):
         find_fold_checkpoints(str(tmp_path / "empty_missing"))
+
+
+def test_cli_ensemble_paints_regions(tmp_path):
+    """ensemble -d on a regions dataset paints through regions_class_order."""
+    from ldiffusion_tpu.data.converters import generate_integration_test_dataset
+    from ldiffusion_tpu.segmentor.cli import main
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    generate_integration_test_dataset(str(raw / "Dataset009_Test"), n_cases=2,
+                                      size=32, num_classes=3, regime="regions")
+    a = tmp_path / "a"
+    a.mkdir()
+    # sigmoid region probs: head 0 ("whole") hot everywhere, head 1 ("core")
+    # hot in a corner → painted labels 1 with a 2-corner
+    p = np.zeros((16, 16, 2), np.float16)
+    p[..., 0] = 0.9
+    p[:4, :4, 1] = 0.9
+    np.savez_compressed(a / "case_000.npz", probabilities=p)
+    out = str(tmp_path / "ens")
+    main(["ensemble", "-i", str(a), "-o", out, "-d", "9", "--raw", str(raw)])
+    from PIL import Image
+    seg = np.asarray(Image.open(f"{out}/case_000.png"))
+    assert (seg[:4, :4] == 2).all()
+    assert (seg[8:, 8:] == 1).all()
