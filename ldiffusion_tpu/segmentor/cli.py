@@ -612,6 +612,40 @@ def cmd_convert_msd(args):
     print(f"MSD dataset converted → {out}")
 
 
+def cmd_convert_old_dataset(args):
+    """Old (v1) nnUNet raw dataset → current layout (reference
+    ``dataset_conversion/convert_raw_dataset_from_old_nnunet_format.py:8-40``):
+    copy images/labels folders verbatim, translate dataset.json —
+    ``modality`` → ``channel_names``, labels invert name→id to id stays...
+    the old format maps id→name, the new maps name→id — drop the training/
+    test case lists and add ``file_ending``."""
+    import shutil
+
+    src = args.i
+    dst = args.o
+    for sub in ("imagesTr", "labelsTr", "imagesTs", "labelsTs"):
+        s = os.path.join(src, sub)
+        if os.path.isdir(s):
+            shutil.copytree(s, os.path.join(dst, sub), dirs_exist_ok=True)
+    with open(os.path.join(src, "dataset.json")) as f:
+        dj = json.load(f)
+    for k in ("tensorImageSize", "numTest", "training", "test"):
+        dj.pop(k, None)
+    if "modality" in dj:
+        dj["channel_names"] = dj.pop("modality")
+    # old format: {"0": "background", "1": "tumor"} (id → name);
+    # new format: {"background": 0, "tumor": 1}
+    if dj.get("labels") and all(str(k).lstrip("-").isdigit()
+                                for k in dj["labels"]):
+        dj["labels"] = {v: int(k) for k, v in dj["labels"].items()}
+    dj.setdefault("file_ending", args.file_ending)
+    os.makedirs(dst, exist_ok=True)
+    with open(os.path.join(dst, "dataset.json"), "w") as f:
+        json.dump(dj, f, indent=2)
+    print(f"old-format dataset converted → {dst}")
+    return dst
+
+
 def cmd_plot_overlays(args):
     from PIL import Image
 
@@ -786,6 +820,13 @@ def build_parser() -> argparse.ArgumentParser:
     ms.add_argument("-i", required=True)
     ms.add_argument("-o", required=True)
     ms.set_defaults(fn=cmd_convert_msd)
+
+    co = sub.add_parser("convert_old_dataset",
+                        help="nnUNetv2_convert_old_nnUNet_dataset analog")
+    co.add_argument("-i", required=True, help="old-format dataset folder")
+    co.add_argument("-o", required=True, help="target DatasetXXX_Name folder")
+    co.add_argument("--file_ending", default=".nii.gz")
+    co.set_defaults(fn=cmd_convert_old_dataset)
 
     ov = sub.add_parser("plot_overlays", help="nnUNetv2_plot_overlay_pngs analog")
     ov.add_argument("image_folder")

@@ -276,3 +276,36 @@ def test_cli_modelfolder_predict_and_crossval_accumulate(tmp_path):
                                          "summary.json")))["metric_per_case"])
     assert len(summary["metric_per_case"]) == n0 + n1
     assert "Dice" in summary["foreground_mean"]
+
+
+def test_cli_convert_old_dataset(tmp_path):
+    """Old-format (v1) dataset.json translates: modality → channel_names,
+    id→name labels invert to name→id, case lists dropped (reference
+    convert_raw_dataset_from_old_nnunet_format.py:8-40)."""
+    from PIL import Image
+
+    src = tmp_path / "Task01_Old"
+    (src / "imagesTr").mkdir(parents=True)
+    (src / "labelsTr").mkdir()
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+        src / "imagesTr" / "case_000_0000.png")
+    Image.fromarray(np.zeros((8, 8), np.uint8)).save(
+        src / "labelsTr" / "case_000.png")
+    old = {
+        "tensorImageSize": "4D",
+        "modality": {"0": "R", "1": "G", "2": "B"},
+        "labels": {"0": "background", "1": "tumor"},
+        "numTraining": 1, "numTest": 0,
+        "training": [{"image": "x", "label": "y"}], "test": [],
+    }
+    with open(src / "dataset.json", "w") as f:
+        json.dump(old, f)
+    dst = str(tmp_path / "Dataset010_New")
+    main(["convert_old_dataset", "-i", str(src), "-o", dst,
+          "--file_ending", ".png"])
+    dj = json.load(open(os.path.join(dst, "dataset.json")))
+    assert dj["channel_names"] == {"0": "R", "1": "G", "2": "B"}
+    assert dj["labels"] == {"background": 0, "tumor": 1}
+    assert dj["file_ending"] == ".png"
+    assert "training" not in dj and "modality" not in dj
+    assert os.path.exists(os.path.join(dst, "imagesTr", "case_000_0000.png"))
