@@ -202,8 +202,10 @@ def affine_augment_batch_numpy(data, seg, angles, scales, apply,
         cosv, sinv = np.cos(angles[b]), np.sin(angles[b])
         sy = (cosv * y + sinv * x) / scales[b] + cy
         sx = (-sinv * y + cosv * x) / scales[b] + cx
-        ry = np.round(sy).astype(np.int64)
-        rx = np.round(sx).astype(np.int64)
+        # half-away-from-zero to match fast_patches.cpp's std::llround
+        # (np.round is banker's rounding — disagrees on exact .5 ties)
+        ry = np.trunc(sy + np.copysign(0.5, sy)).astype(np.int64)
+        rx = np.trunc(sx + np.copysign(0.5, sx)).astype(np.int64)
         if data_order == 0:
             ok = (ry >= 0) & (ry < H) & (rx >= 0) & (rx < W)
             vals = data[b][np.clip(ry, 0, H - 1), np.clip(rx, 0, W - 1)]
@@ -320,9 +322,10 @@ def affine_augment_batch_3d_numpy(data, seg, angles_x, angles_y, angles_z,
         sz = (r00 * z + r10 * y + r20 * x) * inv_s + cz
         sy = (r01 * z + r11 * y + r21 * x) * inv_s + cy
         sx = (r02 * z + r12 * y + r22 * x) * inv_s + cx
-        rz = np.round(sz).astype(np.int64)
-        ry = np.round(sy).astype(np.int64)
-        rx = np.round(sx).astype(np.int64)
+        # half-away-from-zero to match fast_patches.cpp's std::llround
+        rz = np.trunc(sz + np.copysign(0.5, sz)).astype(np.int64)
+        ry = np.trunc(sy + np.copysign(0.5, sy)).astype(np.int64)
+        rx = np.trunc(sx + np.copysign(0.5, sx)).astype(np.int64)
         rin = ((rz >= 0) & (rz < D) & (ry >= 0) & (ry < H)
                & (rx >= 0) & (rx < W))
         if data_order == 0:

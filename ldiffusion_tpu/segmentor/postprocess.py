@@ -38,27 +38,36 @@ def remove_all_but_largest_component(seg: np.ndarray, labels) -> np.ndarray:
 
 
 def _mean_fg_dice(preds: Sequence[np.ndarray], gts: Sequence[np.ndarray],
-                  num_classes: int) -> float:
+                  num_classes: int, ignore_label=None) -> float:
+    """Mean foreground dice over a confusion matrix; GT pixels carrying the
+    ignore label are excluded (predictions never emit the ignore value, so
+    counting them would attribute fixed errors to whichever class occupies
+    them — the reference determines postprocessing on ignore-masked metrics,
+    ``evaluate_predictions.py:87-96``)."""
     cm = np.zeros((num_classes, num_classes), np.int64)
     for p, g in zip(preds, gts):
+        if ignore_label is not None:
+            keep = np.asarray(g) != ignore_label
+            p, g = np.asarray(p)[keep], np.asarray(g)[keep]
         cm += confusion_matrix(p, g, num_classes)
     m = metrics_from_cm(cm)
     return float(np.mean(m["dice_per_class"][1:]))
 
 
 def determine_postprocessing(preds: Sequence[np.ndarray], gts: Sequence[np.ndarray],
-                             num_classes: int) -> List[Dict]:
+                             num_classes: int, ignore_label=None) -> List[Dict]:
     """Decide which keep-largest-component steps improve mean fg dice
     (reference ``remove_connected_components.py:22-250`` decision procedure).
-    Returns a JSON-serializable list of postprocessing steps."""
+    ``ignore_label``: GT value masked out of the scoring dice (ignore-label
+    regime). Returns a JSON-serializable list of postprocessing steps."""
     steps: List[Dict] = []
     cur = [p.copy() for p in preds]
-    base = _mean_fg_dice(cur, gts, num_classes)
+    base = _mean_fg_dice(cur, gts, num_classes, ignore_label)
 
     # 1) foreground-as-a-whole
     fg_labels = list(range(1, num_classes))
     cand = [remove_all_but_largest_component(p, fg_labels) for p in cur]
-    score = _mean_fg_dice(cand, gts, num_classes)
+    score = _mean_fg_dice(cand, gts, num_classes, ignore_label)
     if score > base:
         steps.append({"fn": "remove_all_but_largest_component", "labels": fg_labels})
         cur, base = cand, score
@@ -66,7 +75,7 @@ def determine_postprocessing(preds: Sequence[np.ndarray], gts: Sequence[np.ndarr
     # 2) per class
     for c in range(1, num_classes):
         cand = [remove_all_but_largest_component(p, c) for p in cur]
-        score = _mean_fg_dice(cand, gts, num_classes)
+        score = _mean_fg_dice(cand, gts, num_classes, ignore_label)
         if score > base:
             steps.append({"fn": "remove_all_but_largest_component", "labels": [c]})
             cur, base = cand, score

@@ -86,6 +86,10 @@ def find_fold_checkpoints(config_dir: str, folds=None) -> List[str]:
             if _os.path.exists(p):
                 ckpts.append(p)
                 break
+        else:
+            if folds is not None:
+                print(f"WARNING: no checkpoint in {d} — fold skipped "
+                      f"(ensembling over the trained folds only)")
     if not ckpts:
         raise FileNotFoundError(
             f"no checkpoint_best/final.pkl under {config_dir} "
@@ -96,10 +100,16 @@ def find_fold_checkpoints(config_dir: str, folds=None) -> List[str]:
 class SlidingWindowPredictor:
     def __init__(self, plan, params, use_gaussian: bool = True,
                  use_mirroring: bool = True, dtype=jnp.bfloat16,
-                 label_manager=None):
+                 label_manager=None, mirror_axes=None):
         """plan: SegPlan (2D) or SegPlan3D — the same scan-tiled program
         drives both (the 3D analog of the reference's
         ``data_loader_3d``-fed predictor).
+
+        mirror_axes: spatial axes (0-indexed) eligible for test-time
+        mirroring; ``None`` allows all. Matches the reference's
+        ``inference_allowed_mirroring_axes`` restriction (models trained by
+        NoMirroring/onlyMirror01 variants must not see flips they never
+        trained with — ``predict_from_raw_data.py:530-545``).
 
         label_manager: a ``segmentor.label_manager.LabelManager``; when given,
         ``predict`` routes through its inference nonlinearity + segmentation
@@ -121,6 +131,11 @@ class SlidingWindowPredictor:
         self.params_list = params if isinstance(params, (list, tuple)) else [params]
         self.use_gaussian = use_gaussian
         self.use_mirroring = use_mirroring
+        # allowed TTA flip axes as ARRAY axes (spatial axis a -> a+1 past the
+        # batch dim); None -> every spatial axis
+        allowed = range(self.nd) if mirror_axes is None else mirror_axes
+        self.mirror_array_axes = tuple(sorted(
+            a + 1 for a in allowed if 0 <= a < self.nd))
         self._predict_cache = {}
 
     @classmethod
@@ -153,9 +168,10 @@ class SlidingWindowPredictor:
             return self.net.apply(variables, x, train=False)
 
         logits = fwd(tile)
-        if self.use_mirroring:
-            combos = [c for r in range(1, self.nd + 1)
-                      for c in itertools.combinations(range(1, self.nd + 1), r)]
+        if self.use_mirroring and self.mirror_array_axes:
+            ax = self.mirror_array_axes
+            combos = [c for r in range(1, len(ax) + 1)
+                      for c in itertools.combinations(ax, r)]
             for axes in combos:
                 logits = logits + jnp.flip(fwd(jnp.flip(tile, axes)), axes)
             logits = logits / (len(combos) + 1.0)

@@ -25,15 +25,21 @@ def generate_crossval_splits(keys: Sequence[str], n_splits: int = 5,
     """Seeded shuffled k-fold over the SORTED keys (reference ``:538-547``:
     ``KFold(n_splits=5, shuffle=True, random_state=12345)`` over
     ``np.sort(keys)``). Each fold's ``val`` chunks are nearly equal sized and
-    disjoint; ``train`` is the complement."""
+    disjoint; ``train`` is the complement.
+
+    The shuffle uses the legacy ``np.random.RandomState(seed)`` generator,
+    which is bit-identical to sklearn's ``KFold(shuffle=True,
+    random_state=seed)`` partition (``check_random_state(seed).shuffle`` over
+    ``arange(n)`` + contiguous fold chunks) — a ``splits_final.json`` written
+    here is interchangeable with one written by the reference
+    (``tests`` pin this against sklearn directly)."""
     keys_sorted = np.sort(np.asarray(list(keys)))
     n = len(keys_sorted)
     if n == 1:
         # degenerate single-case dataset: train == val (nothing else to do)
         return [{"train": [str(keys_sorted[0])], "val": [str(keys_sorted[0])]}]
     n_splits = min(n_splits, n)
-    rng = np.random.default_rng(seed)
-    perm = rng.permutation(n)
+    perm = np.random.RandomState(seed).permutation(n)
     # sklearn-style fold sizes: the first n % k folds get one extra element
     sizes = np.full(n_splits, n // n_splits, np.int64)
     sizes[: n % n_splits] += 1
