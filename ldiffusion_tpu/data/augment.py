@@ -50,6 +50,41 @@ class AugmentConfig:
     # nnUNetTrainer_onlyMirror01 variant restricts to the first two) — 2D
     # patches use axes 0/1 regardless, 3D honors the restriction
     mirror_axes: tuple = (0, 1, 2)
+    # DA5 photometric modes (reference nnUNetTrainerDA5.py:178-219):
+    # brightness becomes an ADDITIVE per-channel N(0, sigma) offset
+    # (BrightnessTransform(0, 0.5)) instead of the default multiplicative
+    # scale; contrast clips back to the original per-channel range half the
+    # time (OneOf preserve_range True/False); the second gamma transform is
+    # ALSO inverted (DA5 appends GammaTransform(invert_image=True) twice).
+    brightness_additive_sigma: float = 0.0  # 0 = multiplicative mode
+    contrast_clip_half: bool = False
+    gamma2_invert: bool = False
+    # DA5's distinctive transforms (reference nnUNetTrainerDA5.py:149-264),
+    # all default-off so the standard stack traces unchanged:
+    # Rot90Transform((0,1,2,3), p=0.5) / TransposeAxesTransform(p=0.5) —
+    # only engaged for square patches (the reference guards on
+    # matching_axes > 1)
+    p_rot90: float = 0.0
+    p_transpose: float = 0.0
+    # OneOf(MedianFilter((2,8)) | GaussianBlur): when p_median > 0, a fair
+    # coin picks median-vs-blur per sample and each then engages with its
+    # own p. Median kernel sizes quantize to {3, 5, 7} (static shapes under
+    # jit; the reference samples ints from [2, 8]) — documented deviation.
+    p_median: float = 0.0
+    # BlankRectangleTransform([p//10, p//3] per axis, value=mean of the
+    # covered region, num_rectangles=(1,5), p_per_channel=0.5)
+    p_blank_rect: float = 0.0
+    # BrightnessGradientAdditiveTransform(scale=exp U(log(p/6), log p),
+    # loc=(-0.5,1.5), strength=±U(1,5)) — one gaussian kernel per sample,
+    # per-channel engage 0.5 (the reference resamples the kernel per channel;
+    # shared-kernel + per-channel strength documented deviation)
+    p_brightness_gradient: float = 0.0
+    # LocalGammaTransform(same kernel family, gamma=U(0.01,0.8)|U(1.5,4))
+    p_local_gamma: float = 0.0
+    # SharpeningTransform(strength=(0.1,1)): unsharp via the 4-neighbor
+    # laplacian, result clipped to the original per-channel range
+    p_sharpen: float = 0.0
+    sharpen_strength: tuple = (0.1, 1.0)
     # 3D per-axis rotation bound (reference
     # configure_rotation_dummyDA_mirroring: quasi-isotropic 3D patches rotate
     # ±30° about each axis)
@@ -111,6 +146,45 @@ def _manual_conv(xp, k, axis):
     return out[:, r:-r]
 
 
+def _median_filter(img, size: int):
+    """k×k median per channel via shift-and-sort (static k). img: (H,W,C)."""
+    r = size // 2
+    shifts = []
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            shifts.append(jnp.roll(jnp.roll(img, dy, 0), dx, 1))
+    stack = jnp.stack(shifts, 0)
+    return jnp.sort(stack, axis=0)[len(shifts) // 2]
+
+
+def _local_gaussian_kernel(key, h, w):
+    """Max-normalized separable gaussian bump with the DA5 parameterization:
+    per-dim sigma ~ exp U(log(d/6), log d), center ~ U(-0.5, 1.5)·d (can sit
+    outside the patch) — reference nnUNetTrainerDA5.py:357-358 scale callable
+    + loc=(-0.5, 1.5) of BrightnessGradientAdditive/LocalGamma."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    sy = jnp.exp(jax.random.uniform(k1, (), minval=jnp.log(max(h / 6.0, 1.0)),
+                                    maxval=jnp.log(float(h))))
+    sx = jnp.exp(jax.random.uniform(k2, (), minval=jnp.log(max(w / 6.0, 1.0)),
+                                    maxval=jnp.log(float(w))))
+    my = jax.random.uniform(k3, (), minval=-0.5, maxval=1.5) * h
+    mx = jax.random.uniform(k4, (), minval=-0.5, maxval=1.5) * w
+    yy = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(w, dtype=jnp.float32)[None, :]
+    kern = jnp.exp(-0.5 * ((yy - my) / sy) ** 2) \
+        * jnp.exp(-0.5 * ((xx - mx) / sx) ** 2)
+    return kern / (jnp.max(kern) + 1e-8)
+
+
+def _laplacian(img):
+    """4-neighbor laplacian with edge replication. img: (H,W,C)."""
+    up = jnp.concatenate([img[:1], img[:-1]], 0)
+    dn = jnp.concatenate([img[1:], img[-1:]], 0)
+    lf = jnp.concatenate([img[:, :1], img[:, :-1]], 1)
+    rt = jnp.concatenate([img[:, 1:], img[:, -1:]], 1)
+    return 4.0 * img - up - dn - lf - rt
+
+
 def _gamma(img, gamma, invert):
     x = jnp.where(invert, -img, img)
     mn = jnp.min(x)
@@ -129,6 +203,10 @@ def _augment_one(key, data, seg, cfg: AugmentConfig):
     h, w = data.shape[:2]
     ks = jax.random.split(key, 16)
     u = jax.random.uniform(ks[0], (12,))
+    # DA5 additions draw from their own key block so the standard stack's
+    # sampling stream is untouched (ks[13..15] were unused)
+    ks5 = jax.random.split(ks[13], 12)
+    u5 = jax.random.uniform(ks[14], (8,))
 
     # ---- spatial (rotation + scale, one resample) ----
     if cfg.p_rotation > 0 or cfg.p_scaling > 0:
@@ -144,30 +222,81 @@ def _augment_one(key, data, seg, cfg: AugmentConfig):
         seg_s = _bilinear_sample(seg[..., None].astype(jnp.float32), sy, sx, 0)[..., 0]
         seg = jnp.where(do_spatial, seg_s.astype(seg.dtype), seg)
 
+    # ---- rot90 / transpose (DA5, square patches only) ----
+    # Rot90Transform((0,1,2,3), p=0.5) + TransposeAxesTransform(p=0.5)
+    # (reference nnUNetTrainerDA5.py:149-159, guarded on matching_axes > 1 —
+    # h == w is the 2D equivalent, static at trace time)
+    if cfg.p_rot90 > 0 and h == w:
+        kk = jax.random.randint(ks5[0], (), 0, 4)
+        rot_d = jax.lax.switch(kk, [lambda x, k=k: jnp.rot90(x, k)
+                                    for k in range(4)], data)
+        rot_s = jax.lax.switch(kk, [lambda x, k=k: jnp.rot90(x, k)
+                                    for k in range(4)], seg)
+        do = u5[0] < cfg.p_rot90
+        data = jnp.where(do, rot_d, data)
+        seg = jnp.where(do, rot_s, seg)
+    if cfg.p_transpose > 0 and h == w:
+        do = u5[1] < cfg.p_transpose
+        data = jnp.where(do, jnp.swapaxes(data, 0, 1), data)
+        seg = jnp.where(do, jnp.swapaxes(seg, 0, 1), seg)
+
     # ---- gaussian noise ----
     if cfg.p_noise > 0:
         var = jax.random.uniform(ks[3], (), maxval=cfg.noise_var_max)
         noise = jax.random.normal(ks[4], data.shape) * jnp.sqrt(var)
         data = jnp.where(u[2] < cfg.p_noise, data + noise, data)
 
-    # ---- gaussian blur ----
-    if cfg.p_blur > 0:
-        sigma = jax.random.uniform(ks[5], (), minval=cfg.blur_sigma[0],
-                                   maxval=cfg.blur_sigma[1])
-        data = jnp.where(u[3] < cfg.p_blur, _blur(data, sigma), data)
+    # ---- gaussian blur (optionally OneOf'd with a median filter) ----
+    if cfg.p_blur > 0 or cfg.p_median > 0:
+        # DA5's OneOf(MedianFilter | GaussianBlur) (reference
+        # nnUNetTrainerDA5.py:161-172): a fair coin picks the member, which
+        # then engages with its own p — the two are mutually exclusive
+        pick_median = jax.random.bernoulli(ks5[2], 0.5) \
+            if cfg.p_median > 0 else False
+        if cfg.p_blur > 0:
+            sigma = jax.random.uniform(ks[5], (), minval=cfg.blur_sigma[0],
+                                       maxval=cfg.blur_sigma[1])
+            do_blur = u[3] < cfg.p_blur
+            if cfg.p_median > 0:
+                do_blur = do_blur & ~pick_median
+            data = jnp.where(do_blur, _blur(data, sigma), data)
+        if cfg.p_median > 0:
+            sz = jax.random.randint(ks5[3], (), 0, 3)
+            med = jax.lax.switch(sz, [lambda x: _median_filter(x, 3),
+                                      lambda x: _median_filter(x, 5),
+                                      lambda x: _median_filter(x, 7)], data)
+            data = jnp.where(pick_median & (u5[2] < cfg.p_median), med, data)
 
-    # ---- brightness (multiplicative) ----
+    # ---- brightness ----
     if cfg.p_brightness > 0:
-        b = jax.random.uniform(ks[6], (), minval=cfg.brightness_range[0],
-                               maxval=cfg.brightness_range[1])
-        data = jnp.where(u[4] < cfg.p_brightness, data * b, data)
+        if cfg.brightness_additive_sigma > 0:
+            # DA5: additive per-channel N(0, sigma) offset with per-channel
+            # p 0.5 (reference BrightnessTransform(0, 0.5, per_channel=True,
+            # p_per_channel=0.5))
+            nch = data.shape[-1]
+            shift = jax.random.normal(ks[6], (nch,)) * cfg.brightness_additive_sigma
+            chan_on = jax.random.bernoulli(ks[11], 0.5, (nch,))
+            data = jnp.where(u[4] < cfg.p_brightness,
+                             data + shift * chan_on, data)
+        else:
+            b = jax.random.uniform(ks[6], (), minval=cfg.brightness_range[0],
+                                   maxval=cfg.brightness_range[1])
+            data = jnp.where(u[4] < cfg.p_brightness, data * b, data)
 
     # ---- contrast (preserve mean) ----
     if cfg.p_contrast > 0:
         c = jax.random.uniform(ks[7], (), minval=cfg.contrast_range[0],
                                maxval=cfg.contrast_range[1])
         mean = jnp.mean(data, axis=(0, 1), keepdims=True)
-        data = jnp.where(u[5] < cfg.p_contrast, (data - mean) * c + mean, data)
+        res = (data - mean) * c + mean
+        if cfg.contrast_clip_half:
+            # DA5's OneOf(preserve_range=True | False): half the time the
+            # result clips back to the original per-channel min/max
+            mn = jnp.min(data, axis=(0, 1), keepdims=True)
+            mx = jnp.max(data, axis=(0, 1), keepdims=True)
+            res = jnp.where(jax.random.bernoulli(ks[12], 0.5),
+                            jnp.clip(res, mn, mx), res)
+        data = jnp.where(u[5] < cfg.p_contrast, res, data)
 
     # ---- simulated low-res ----
     # Pool-based (reshape mean-pool + nearest upsample) with factor ∈ {2, 4}
@@ -193,7 +322,8 @@ def _augment_one(key, data, seg, cfg: AugmentConfig):
     if cfg.p_gamma > 0:
         g2 = jax.random.uniform(ks[10], (), minval=cfg.gamma_range[0],
                                 maxval=cfg.gamma_range[1])
-        data = jnp.where(u[8] < cfg.p_gamma, _gamma(data, g2, False), data)
+        data = jnp.where(u[8] < cfg.p_gamma,
+                        _gamma(data, g2, cfg.gamma2_invert), data)
 
     # ---- mirroring ----
     if cfg.p_mirror > 0:
@@ -203,6 +333,74 @@ def _augment_one(key, data, seg, cfg: AugmentConfig):
         if 1 in cfg.mirror_axes:
             data = jnp.where(u[10] < cfg.p_mirror, data[:, ::-1], data)
             seg = jnp.where(u[10] < cfg.p_mirror, seg[:, ::-1], seg)
+
+    # ---- DA5 tail: blank rectangles, brightness gradient, local gamma,
+    # sharpening (reference nnUNetTrainerDA5.py:224-264, applied after
+    # MirrorTransform in the reference's order) ----
+    if cfg.p_blank_rect > 0:
+        # BlankRectangleTransform([p//10, p//3] per axis, value = mean of
+        # the covered region, num_rectangles=(1,5), p_per_channel=0.5)
+        nch = data.shape[-1]
+        krs = jax.random.split(ks5[4], 5)
+        n_rect = jax.random.randint(ks5[5], (), 1, 6)
+        chan_on = jax.random.bernoulli(ks5[6], 0.5, (nch,))
+        do_blank = (u5[3] < cfg.p_blank_rect)
+        yy = jnp.arange(h)[:, None]
+        xx = jnp.arange(w)[None, :]
+        for slot in range(5):
+            k1, k2, k3, k4 = jax.random.split(krs[slot], 4)
+            rh = jax.random.randint(k1, (), max(1, h // 10), max(2, h // 3 + 1))
+            rw = jax.random.randint(k2, (), max(1, w // 10), max(2, w // 3 + 1))
+            y0 = jax.random.randint(k3, (), 0, h)
+            x0 = jax.random.randint(k4, (), 0, w)
+            y0 = jnp.minimum(y0, h - rh)
+            x0 = jnp.minimum(x0, w - rw)
+            mask = ((yy >= y0) & (yy < y0 + rh)
+                    & (xx >= x0) & (xx < x0 + rw)).astype(data.dtype)
+            area = jnp.sum(mask) + 1e-8
+            fill = jnp.sum(mask[..., None] * data, axis=(0, 1)) / area
+            on = do_blank & (slot < n_rect)
+            sel = mask[..., None] * chan_on * on
+            data = data * (1 - sel) + fill * sel
+
+    if cfg.p_brightness_gradient > 0:
+        # BrightnessGradientAdditiveTransform: += kernel · strength,
+        # strength = ±U(1, 5) per channel (mean_centered=False)
+        nch = data.shape[-1]
+        kern = _local_gaussian_kernel(ks5[7], h, w)
+        km, ksign, kon = jax.random.split(ks5[8], 3)
+        mag = jax.random.uniform(km, (nch,), minval=1.0, maxval=5.0)
+        sign = jnp.where(jax.random.bernoulli(ksign, 0.5, (nch,)), 1.0, -1.0)
+        chan_on = jax.random.bernoulli(kon, 0.5, (nch,))
+        add = kern[..., None] * mag * sign * chan_on
+        data = jnp.where(u5[4] < cfg.p_brightness_gradient, data + add, data)
+
+    if cfg.p_local_gamma > 0:
+        # LocalGammaTransform: per-pixel exponent interpolates 1 → gamma by
+        # the kernel; gamma ~ U(0.01, 0.8) | U(1.5, 4) (reference :365-366)
+        nch = data.shape[-1]
+        kern = _local_gaussian_kernel(ks5[9], h, w)
+        kg1, kg2, kpick, kon = jax.random.split(ks5[10], 4)
+        g_lo = jax.random.uniform(kg1, (nch,), minval=0.01, maxval=0.8)
+        g_hi = jax.random.uniform(kg2, (nch,), minval=1.5, maxval=4.0)
+        g = jnp.where(jax.random.bernoulli(kpick, 0.5, (nch,)), g_lo, g_hi)
+        chan_on = jax.random.bernoulli(kon, 0.5, (nch,))
+        mn = jnp.min(data, axis=(0, 1), keepdims=True)
+        mx = jnp.max(data, axis=(0, 1), keepdims=True)
+        xn = (data - mn) / (mx - mn + 1e-7)
+        expnt = kern[..., None] * (g - 1.0) * chan_on + 1.0
+        res = jnp.power(jnp.maximum(xn, 1e-7), expnt) * (mx - mn) + mn
+        data = jnp.where(u5[5] < cfg.p_local_gamma, res, data)
+
+    if cfg.p_sharpen > 0:
+        # SharpeningTransform(strength=(0.1,1)): unsharp via the laplacian,
+        # clipped to the original per-channel range
+        s = jax.random.uniform(ks5[11], (), minval=cfg.sharpen_strength[0],
+                               maxval=cfg.sharpen_strength[1])
+        mn = jnp.min(data, axis=(0, 1), keepdims=True)
+        mx = jnp.max(data, axis=(0, 1), keepdims=True)
+        sharp = jnp.clip(data + s * _laplacian(data), mn, mx)
+        data = jnp.where(u5[6] < cfg.p_sharpen, sharp, data)
     return data, seg
 
 

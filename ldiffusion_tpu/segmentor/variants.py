@@ -30,7 +30,7 @@ class TrainerVariant:
     loss: str = "dc_and_ce"          # dc_and_ce | dice | ce | topk10 |
                                      # dc_and_topk10 | dc_and_focal
     lr_schedule: str = "poly"        # poly | cosine | constant
-    optimizer: str = "sgd"           # sgd | adam
+    optimizer: str = "sgd"           # sgd | adam | adan
     mirror_tta: bool = True
     # network norm layer (reference nnUNetTrainerBN swaps InstanceNorm for
     # BatchNorm, variants/network_architecture/nnUNetTrainerBN.py)
@@ -61,16 +61,25 @@ _NO_DA = AugmentConfig(p_rotation=0, p_scaling=0, p_noise=0, p_blur=0,
                        p_gamma_invert=0, p_gamma=0, p_mirror=0)
 
 # DA5: the "more aggressive DA" recipe (reference
-# variants/data_augmentation/nnUNetTrainerDA5.py): spatial p 0.4 w/ scale
-# (0.7, 1.43), transpose/rot90 p 0.5 (mapped onto mirroring here), blur up to
-# sigma 1.5, additive brightness p 0.3, contrast p 0.4, lowres p 0.15,
-# gamma 0.1/0.3. Approximation documented in PARITY.md (the reference's
-# blank-rectangle / local-gamma / sharpening transforms have no analog in
-# this stack).
-_DA5 = AugmentConfig(p_rotation=0.4, p_scaling=0.4, scale_range=(0.7, 1.43),
-                     p_noise=0.1, p_blur=0.2, blur_sigma=(0.5, 1.5),
-                     p_brightness=0.3, p_contrast=0.4, p_lowres=0.15,
-                     p_gamma_invert=0.1, p_gamma=0.3, p_mirror=0.5)
+# variants/data_augmentation/nnUNetTrainerDA5.py:106-264, full transform
+# list): spatial p_rot 0.4 / p_scale 0.2 w/ scale (0.7, 1.43), rot90 +
+# transpose p 0.5 (square patches), OneOf(median (2,8) | blur (0.3, 1.5))
+# p 0.2, noise p 0.1, ADDITIVE brightness N(0, 0.5) p 0.1,
+# OneOf(contrast (0.5, 2) preserve-range T|F) p 0.2, lowres p 0.15, gamma
+# (0.7, 1.5) BOTH inverted p 0.1 each, mirror, blank rectangles p 0.4,
+# brightness-gradient-additive p 0.3, local gamma p 0.3, sharpening p 0.2.
+_DA5 = AugmentConfig(p_rotation=0.4, p_scaling=0.2, scale_range=(0.7, 1.43),
+                     p_rot90=0.5, p_transpose=0.5,
+                     p_median=0.2, p_noise=0.1,
+                     p_blur=0.2, blur_sigma=(0.3, 1.5),
+                     p_brightness=0.1, brightness_additive_sigma=0.5,
+                     p_contrast=0.2, contrast_range=(0.5, 2.0),
+                     contrast_clip_half=True,
+                     p_lowres=0.15, lowres_zoom=(0.25, 1.0),
+                     p_gamma_invert=0.1, p_gamma=0.1, gamma2_invert=True,
+                     p_mirror=0.5,
+                     p_blank_rect=0.4, p_brightness_gradient=0.3,
+                     p_local_gamma=0.3, p_sharpen=0.2)
 
 
 # The full reference variant-class matrix
@@ -204,10 +213,12 @@ def get_variant(name: str = "default",
     if "CosAnneal" in name:
         sched = "cosine"
     if "Adam" in name or "Adan" in name:
-        # AdamW with the trainer's lr unless an explicit lr suffix is given
-        # (reference variants/optimizer/nnUNetTrainerAdam.py: the BARE
-        # classes keep self.initial_lr = 1e-2; only 1en3/3en4/1en1 override)
-        opt = "adam"
+        # Adam names -> AdamW; Adan names -> the real three-moment Adan
+        # (core/optim.py, reference variants/optimizer/nnUNetTrainerAdan.py
+        # uses adan_pytorch with default betas (0.02, 0.08, 0.01)). The BARE
+        # classes keep self.initial_lr = 1e-2; only 1en3/3en4/1en1 override
+        # (reference variants/optimizer/nnUNetTrainerAdam.py).
+        opt = "adan" if "Adan" in name else "adam"
         if "1en3" in name:
             cfg = dataclasses.replace(cfg, initial_lr=1e-3)
         elif "3en4" in name:

@@ -44,7 +44,11 @@ def test_da_family():
     assert get_variant("nnUNetTrainerNoDA").augment.p_rotation == 0
     assert get_variant("nnUNetTrainerNoDA").augment.p_mirror == 0
     v5 = get_variant("nnUNetTrainerDA5")
-    assert v5.augment.p_rotation == 0.4 and v5.augment.p_contrast == 0.4
+    # full reference recipe (nnUNetTrainerDA5.py:120-264): p_rot 0.4 /
+    # p_scale 0.2, contrast OneOf p 0.2, DA5-only transforms engaged
+    assert v5.augment.p_rotation == 0.4 and v5.augment.p_scaling == 0.2
+    assert v5.augment.p_contrast == 0.2 and v5.augment.contrast_clip_half
+    assert v5.augment.p_blank_rect == 0.4 and v5.augment.p_sharpen == 0.2
     assert get_variant("nnUNetTrainerDA5_10epochs").config.num_epochs == 10
     assert get_variant("nnUNetTrainerDAOrd0").spatial_order0_data
     assert get_variant("nnUNetTrainerDA5ord0").spatial_order0_data
@@ -72,18 +76,18 @@ def test_optimizer_family():
     # the BARE Adam/VanillaAdam/Adan classes keep the trainer's base lr
     # (reference nnUNetTrainerAdam.py: self.initial_lr stays 1e-2); only
     # the explicit lr-suffixed subclasses override it
-    for name, lr in (("nnUNetTrainerAdam", 1e-2),
-                     ("nnUNetTrainerVanillaAdam", 1e-2),
-                     ("nnUNetTrainerAdan", 1e-2),
-                     ("nnUNetTrainerAdam1en3", 1e-3),
-                     ("nnUNetTrainerAdam3en4", 3e-4),
-                     ("nnUNetTrainerVanillaAdam1en3", 1e-3),
-                     ("nnUNetTrainerAdan1en1", 1e-1),
-                     ("nnUNetTrainerAdan3en4", 3e-4)):
+    for name, opt, lr in (("nnUNetTrainerAdam", "adam", 1e-2),
+                          ("nnUNetTrainerVanillaAdam", "adam", 1e-2),
+                          ("nnUNetTrainerAdan", "adan", 1e-2),
+                          ("nnUNetTrainerAdam1en3", "adam", 1e-3),
+                          ("nnUNetTrainerAdam3en4", "adam", 3e-4),
+                          ("nnUNetTrainerVanillaAdam1en3", "adam", 1e-3),
+                          ("nnUNetTrainerAdan1en1", "adan", 1e-1),
+                          ("nnUNetTrainerAdan3en4", "adan", 3e-4)):
         v = get_variant(name)
-        assert v.optimizer == "adam" and v.config.initial_lr == lr, name
+        assert v.optimizer == opt and v.config.initial_lr == lr, name
     v = get_variant("nnUNetTrainerAdanCosAnneal")
-    assert v.optimizer == "adam" and v.lr_schedule == "cosine"
+    assert v.optimizer == "adan" and v.lr_schedule == "cosine"
 
 
 def test_sampling_family():
