@@ -13,6 +13,7 @@ libraries, mirroring the reference's optional-format support.
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -183,10 +184,47 @@ class Tiff3DIO(BaseReaderWriter):
                 json.dump({"spacing": list(properties["spacing"])}, f)
 
 
+class NumpyIO(BaseReaderWriter):
+    """Volumes as bare ``.npy`` arrays with an optional ``<name>.json``
+    spacing sidecar (Tiff3DIO's convention). Not in the reference registry —
+    added so volumetric configs run with zero external IO dependencies
+    (nibabel/SimpleITK/tifffile are all optional here); arrays are (Z, H, W)
+    per channel file, returned (c, Z, H, W) like every other reader."""
+
+    supported_endings = (".npy",)
+
+    def _spacing_for(self, path: str):
+        import json as _json
+
+        sidecar = os.path.splitext(path)[0] + ".json"
+        if os.path.exists(sidecar):
+            return list(_json.load(open(sidecar)).get("spacing",
+                                                      (1.0, 1.0, 1.0)))
+        return [1.0, 1.0, 1.0]
+
+    def read_images(self, paths):
+        vols = [np.load(p).astype(np.float32) for p in paths]
+        for v in vols:
+            assert v.ndim == 3, f"NumpyIO expects (Z, H, W) arrays, got {v.shape}"
+        return np.stack(vols), {"spacing": self._spacing_for(paths[0])}
+
+    def read_seg(self, path):
+        vol = np.load(path).astype(np.float32)
+        return vol[None], {"spacing": self._spacing_for(path)}
+
+    def write_seg(self, seg, path, properties=None):
+        import json as _json
+
+        np.save(path, np.squeeze(seg).astype(np.uint8))
+        if properties and "spacing" in properties:
+            with open(os.path.splitext(path)[0] + ".json", "w") as f:
+                _json.dump({"spacing": list(properties["spacing"])}, f)
+
+
 # order matters: 2D natural images claim .tif first (reference registry
 # priority, ``reader_writer_registry.py``); Tiff3DIO is selected explicitly
 # via dataset_json ``overwrite_image_reader_writer`` for 3D stacks
-_REGISTRY = [NaturalImage2DIO, NibabelIO, SimpleITKIO, Tiff3DIO]
+_REGISTRY = [NaturalImage2DIO, NibabelIO, SimpleITKIO, Tiff3DIO, NumpyIO]
 
 _BY_NAME = {cls.__name__: cls for cls in _REGISTRY}
 

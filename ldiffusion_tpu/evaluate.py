@@ -59,7 +59,10 @@ def metrics_from_cm(cm: np.ndarray) -> Dict:
 
 
 def _load_mask(path: str, level: Optional[str], convert: bool) -> np.ndarray:
-    arr = np.asarray(Image.open(path).convert("L"), np.uint8)
+    if path.lower().endswith(".npy"):   # 3D volumes (CLI volumetric configs)
+        arr = np.load(path).astype(np.int64)
+    else:
+        arr = np.asarray(Image.open(path).convert("L"), np.uint8)
     if convert and level:
         return convert_labels(arr, level)
     return arr
@@ -274,8 +277,10 @@ def compute_metrics_on_folder(pred_dir: str, gt_dir: str, num_classes: int,
     (reference ``compute_tp_fp_fn_tn`` ignore_mask, ``:77-120``). When None
     the plain per-class confusion-matrix path is used.
     """
-    preds = sorted(f for f in os.listdir(pred_dir) if f.lower().endswith(".png"))
-    gts = sorted(f for f in os.listdir(gt_dir) if f.lower().endswith(".png"))
+    preds = sorted(f for f in os.listdir(pred_dir)
+                   if f.lower().endswith((".png", ".npy")))
+    gts = sorted(f for f in os.listdir(gt_dir)
+                 if f.lower().endswith((".png", ".npy")))
     assert len(preds) == len(gts)
     if regions_or_labels is not None:
         return _compute_region_metrics(pred_dir, gt_dir, preds, gts, level,

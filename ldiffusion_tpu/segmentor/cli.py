@@ -14,10 +14,12 @@ framework's programmatic stack:
     python -m ldiffusion_tpu.segmentor predict -i IN -o OUT -d 1 [-f 0 1 ...]
 
 Dataset layout = the reference's: ``$LDIFFUSION_RAW/DatasetXXX_Name/
-{imagesTr,labelsTr,imagesTs,labelsTs,dataset.json}`` (PNG 2D,
-NaturalImage2DIO semantics — the regime the L-Diffusion pipeline uses;
-volumetric datasets go through the programmatic 3D API,
-``segmentor/planner3d.py``). Preprocessed artifacts land under
+{imagesTr,labelsTr,imagesTs,labelsTs,dataset.json}``. PNG datasets drive the
+2D (NaturalImage2DIO) pathway; volumetric datasets (any non-.png
+``file_ending``: .nii.gz/.tif/.npy/... per ``data/io.py``) plan ALL 3D
+configurations and train/predict via ``-c 3d_fullres | 3d_lowres |
+3d_cascade_fullres`` (cascade consumes the lowres stage's predictions,
+reference ``run/run_training.py:212-271``). Preprocessed artifacts land under
 ``$LDIFFUSION_PREPROCESSED``, results under ``$LDIFFUSION_RESULTS``
 (``core/paths.py``; nnUNet_* names honored as fallbacks).
 """
@@ -85,6 +87,49 @@ def load_png_cases(ds_dir: str, split: str = "Tr"):
     return ids, images, labels
 
 
+VOLUMETRIC_CONFIGS = ("3d_fullres", "3d_lowres", "3d_cascade_fullres")
+
+
+def _is_volumetric_dataset(dataset_json) -> bool:
+    return dataset_json.get("file_ending", ".png").lower() != ".png"
+
+
+def load_volume_cases(ds_dir: str, split: str, dataset_json):
+    """(case_ids, volumes (Z,H,W,C) float32, labels (Z,H,W) int16, spacings)
+    from a volumetric imagesTr/labelsTr pair via the dataset's reader-writer
+    (``data/io.py``; channel files ``<case>_NNNN<ending>`` grouped per case,
+    reference ``utilities/utils.py`` create_lists_from_splitted_dataset_folder)."""
+    from ldiffusion_tpu.data.io import determine_reader_writer_from_dataset_json
+
+    rw = determine_reader_writer_from_dataset_json(dataset_json)
+    ending = dataset_json.get("file_ending", ".npy").lower()
+    img_dir = os.path.join(ds_dir, f"images{split}")
+    lbl_dir = os.path.join(ds_dir, f"labels{split}")
+    ids, vols, labs, spacings = [], [], [], []
+    if not os.path.isdir(img_dir):
+        return ids, vols, labs, spacings
+    groups = {}
+    for fn in sorted(os.listdir(img_dir)):
+        if not fn.lower().endswith(ending):
+            continue
+        stem = fn[: -len(ending)]
+        case, _, ch = stem.rpartition("_")
+        if case and ch.isdigit() and len(ch) == 4:
+            groups.setdefault(case, []).append(fn)
+        else:
+            groups.setdefault(stem, []).append(fn)
+    for case, files in sorted(groups.items()):
+        data, props = rw.read_images(
+            [os.path.join(img_dir, f) for f in sorted(files)])
+        vols.append(np.moveaxis(data, 0, -1).astype(np.float32))  # (Z,H,W,c)
+        lbl_path = os.path.join(lbl_dir, case + ending)
+        labs.append(rw.read_seg(lbl_path)[0][0].astype(np.int16)
+                    if os.path.exists(lbl_path) else None)
+        ids.append(case)
+        spacings.append(tuple(props.get("spacing", (1.0, 1.0, 1.0))))
+    return ids, vols, labs, spacings
+
+
 def _label_manager(ds_dir: str):
     from ldiffusion_tpu.segmentor.label_manager import (
         label_manager_from_dataset_json,
@@ -137,6 +182,10 @@ def cmd_plan_and_preprocess(args) -> str:
                        "--preprocessed", "LDIFFUSION_PREPROCESSED")
     ds_dir = find_dataset_dir(raw_root, args.d)
     lm, dataset_json = _label_manager(ds_dir)
+    if _is_volumetric_dataset(dataset_json):
+        return _plan_and_preprocess_volumetric(ds_dir, pp_root, lm,
+                                               dataset_json,
+                                               hbm_budget=args.hbm_budget)
     ids, images, labels = load_png_cases(ds_dir, "Tr")
     if not ids:
         raise SystemExit(f"no training cases under {ds_dir}/imagesTr")
@@ -162,6 +211,117 @@ def cmd_plan_and_preprocess(args) -> str:
                               case_ids=ids,
                               directory=os.path.join(out, "ldPlans_2d"))
     print(f"plans + preprocessed data written to {out}")
+    return out
+
+
+def _plan_and_preprocess_volumetric(ds_dir: str, pp_root: str, lm,
+                                    dataset_json, hbm_budget=None) -> str:
+    """Volumetric plan-and-preprocess: fingerprint → ALL 3D configurations
+    (3d_fullres always; 3d_lowres + 3d_cascade_fullres for large volumes) →
+    per-config preprocessed stores + a multi-config plans file (reference
+    ``plan_and_preprocess_api.py:18-138`` planning every configuration).
+    ``hbm_budget``: per-chip memory-budget override in bytes (plan for a
+    different chip than the default; the analog of the reference's
+    ``-gpu_memory_target``)."""
+    from ldiffusion_tpu.segmentor.planner3d import (
+        HBM_BUDGET_BYTES,
+        plan_and_preprocess_3d,
+    )
+    from ldiffusion_tpu.segmentor.preprocess import PreprocessedDataset
+
+    ids, vols, labs, spacings = load_volume_cases(ds_dir, "Tr", dataset_json)
+    if not ids:
+        raise SystemExit(f"no volumetric training cases under {ds_dir}/imagesTr")
+    out = _pp_dataset_dir(pp_root, ds_dir)
+    os.makedirs(out, exist_ok=True)
+    configs, datasets = plan_and_preprocess_3d(
+        vols, labs, lm.num_segmentation_heads, spacings=spacings,
+        hbm_budget=hbm_budget or HBM_BUDGET_BYTES,
+        plans_path=os.path.join(out, "plans_3d.json"))
+    for name, ds in datasets.items():
+        keyed = {cid: ds[f"case_{i:03d}"] for i, cid in enumerate(ids)}
+        PreprocessedDataset(cases=keyed).save(
+            os.path.join(out, f"ldPlans_{name}"))
+    with open(os.path.join(out, "dataset.json"), "w") as f:
+        json.dump(dataset_json, f, indent=2)
+    print(f"3D plans ({', '.join(sorted(configs))}) + preprocessed data "
+          f"written to {out}")
+    return out
+
+
+def _load_preprocessed_3d(args):
+    """plans_3d.json + the requested config's preprocessed store (cascade
+    reads the fullres store — its own inputs are fullres data + prev-stage
+    channels)."""
+    from ldiffusion_tpu.segmentor.plans_file import PlansFile
+    from ldiffusion_tpu.segmentor.preprocess import PreprocessedDataset
+
+    raw_root = _require(args.raw or env_paths.raw_dir(warn=False),
+                        "--raw", "LDIFFUSION_RAW")
+    pp_root = _require(args.preprocessed or env_paths.preprocessed_dir(warn=False),
+                       "--preprocessed", "LDIFFUSION_PREPROCESSED")
+    ds_dir = find_dataset_dir(raw_root, args.d)
+    pp_dir = _pp_dataset_dir(pp_root, ds_dir)
+    plans_path = os.path.join(pp_dir, "plans_3d.json")
+    if not os.path.exists(plans_path):
+        raise SystemExit(f"{plans_path} missing — run plan_and_preprocess "
+                         f"on this (volumetric) dataset first")
+    pf = PlansFile(plans_path)
+    if args.c not in pf.configuration_names():
+        raise SystemExit(
+            f"configuration {args.c!r} was not planned for this dataset "
+            f"(planned: {sorted(pf.configuration_names())}; 3d_lowres/"
+            f"3d_cascade_fullres only exist when the fullres patch covers "
+            f"<25% of the median volume, reference "
+            f"default_experiment_planner.py:371-500)")
+    plan = pf.get_configuration(args.c)
+    lm, _ = _label_manager(pp_dir)
+    base = "3d_fullres" if args.c == "3d_cascade_fullres" else args.c
+    store = os.path.join(pp_dir, f"ldPlans_{base}")
+    if not os.path.isdir(store):
+        raise SystemExit(f"{store} missing — run plan_and_preprocess first")
+    ds = PreprocessedDataset.load(store)
+    return ds_dir, pp_dir, plan, lm, ds
+
+
+def _ensure_prev_stage_predictions(pp_dir: str, results_root: str,
+                                   ds_name: str, trainer_name: str,
+                                   lowres_plan, ds) -> str:
+    """Cascade stage-2 inputs: the lowres stage's segmentations resampled to
+    the fullres grid, cached under ``predicted_next_stage/3d_cascade_fullres``
+    (reference ``nnUNetTrainer.py`` predicted_next_stage convention /
+    ``run_training.py`` --npz + predict_next_stage). Generated here from the
+    trained 3d_lowres checkpoints when absent."""
+    from ldiffusion_tpu.segmentor.predictor import (
+        SlidingWindowPredictor,
+        find_fold_checkpoints,
+    )
+    from ldiffusion_tpu.segmentor.preprocess import PreprocessedDataset
+    from ldiffusion_tpu.segmentor.resample import resample_data_3d
+
+    out = os.path.join(pp_dir, "predicted_next_stage", "3d_cascade_fullres")
+    missing = [cid for cid in ds.keys()
+               if not os.path.exists(os.path.join(out, f"{cid}.npy"))]
+    if not missing:
+        return out
+    low_dir = _results_config_dir(results_root, ds_name, trainer_name,
+                                  "3d_lowres")
+    try:
+        ckpts = find_fold_checkpoints(low_dir)
+    except FileNotFoundError:
+        raise SystemExit(
+            "3d_cascade_fullres requires a trained 3d_lowres stage — run "
+            f"`train -d ... -c 3d_lowres` first (no checkpoints under "
+            f"{low_dir})")
+    low_ds = PreprocessedDataset.load(os.path.join(pp_dir, "ldPlans_3d_lowres"))
+    predictor = SlidingWindowPredictor.from_checkpoints(lowres_plan, ckpts)
+    os.makedirs(out, exist_ok=True)
+    for cid in missing:
+        seg = np.asarray(predictor.predict(low_ds[cid].data))
+        tgt = tuple(ds[cid].seg.shape)
+        if tuple(seg.shape) != tgt:
+            seg = resample_data_3d(seg, tgt, lowres_plan.spacing, is_seg=True)
+        np.save(os.path.join(out, f"{cid}.npy"), seg.astype(np.int16))
     return out
 
 
@@ -191,11 +351,13 @@ def cmd_train(args) -> str:
     from ldiffusion_tpu.segmentor.trainer import SegmentorTrainer
     from ldiffusion_tpu.segmentor.variants import get_variant
 
-    if args.c != "2d":
-        raise SystemExit("the CLI drives the 2D (PNG) pathway; volumetric "
-                         "configs go through the programmatic API "
-                         "(segmentor.planner3d.plan_and_preprocess_3d)")
-    ds_dir, pp_dir, plan, lm, ds = _load_preprocessed(args)
+    if args.c in VOLUMETRIC_CONFIGS:
+        ds_dir, pp_dir, plan, lm, ds = _load_preprocessed_3d(args)
+    elif args.c == "2d":
+        ds_dir, pp_dir, plan, lm, ds = _load_preprocessed(args)
+    else:
+        raise SystemExit(f"unknown configuration {args.c!r} — use 2d, "
+                         f"{', '.join(VOLUMETRIC_CONFIGS)}")
     results_root = _require(args.results or env_paths.results_dir(warn=False),
                             "--results", "LDIFFUSION_RESULTS")
     overrides = {}
@@ -217,6 +379,26 @@ def cmd_train(args) -> str:
         dj = f.read()
     with open(os.path.join(cfg_dir, "dataset.json"), "w") as f:
         f.write(dj)
+    if args.c == "3d_cascade_fullres":
+        # prev-stage channels: lowres predictions resampled to the fullres
+        # grid, appended as foreground one-hot (reference
+        # nnUNetTrainerCascadeFullRes semantics via append_prev_stage_channels)
+        from ldiffusion_tpu.segmentor.plans_file import PlansFile
+        from ldiffusion_tpu.segmentor.preprocess import (
+            PreprocessedDataset,
+            append_prev_stage_channels,
+        )
+
+        lowres_plan = PlansFile(os.path.join(pp_dir, "plans_3d.json")) \
+            .get_configuration("3d_lowres")
+        prev_dir = _ensure_prev_stage_predictions(
+            pp_dir, results_root, os.path.basename(ds_dir), args.tr,
+            lowres_plan, ds)
+        ds = PreprocessedDataset(cases={
+            cid: append_prev_stage_channels(
+                ds[cid], np.load(os.path.join(prev_dir, f"{cid}.npy")),
+                plan.num_classes)
+            for cid in ds.keys()})
     fold_dir = os.path.join(cfg_dir, f"fold_{fold}")
     # the batch shards over every mesh device (data×fsdp on the leading dim)
     # — use the largest device count that divides the planned batch
@@ -251,6 +433,111 @@ def cmd_train(args) -> str:
     return fold_dir
 
 
+def _cmd_predict_volumetric(args) -> str:
+    """Volumetric folder prediction (reference
+    ``predict_from_raw_data.py:637-767`` driving 3d_fullres/3d_lowres/
+    3d_cascade_fullres): read → z-score → resample to the plan's spacing →
+    scan-tiled 3D prediction (cascade: lowres stage first, its segmentation
+    one-hot-appended) → resample back → write via the dataset's
+    reader-writer. Deviation: no nonzero-crop before prediction (the 2D
+    export path's bbox revert analog) — whole-volume prediction instead."""
+    from ldiffusion_tpu.data.io import determine_reader_writer_from_dataset_json
+    from ldiffusion_tpu.segmentor.planner3d import SegPlan3D
+    from ldiffusion_tpu.segmentor.predictor import (
+        SlidingWindowPredictor,
+        find_fold_checkpoints,
+    )
+    from ldiffusion_tpu.segmentor.preprocess import append_prev_stage_channels
+    from ldiffusion_tpu.segmentor.resample import (
+        compute_new_shape,
+        resample_data_3d,
+    )
+
+    results_root = _require(args.results or env_paths.results_dir(warn=False),
+                            "--results", "LDIFFUSION_RESULTS")
+    raw_root = args.raw or env_paths.raw_dir(warn=False)
+    ds_name = os.path.basename(find_dataset_dir(raw_root, args.d)) \
+        if raw_root else f"Dataset{int(args.d):03d}"
+    cfg_dir = _results_config_dir(results_root, ds_name, args.tr, args.c)
+    if not os.path.isdir(cfg_dir):
+        raise SystemExit(f"{cfg_dir} missing — train first")
+    plan = SegPlan3D.load(os.path.join(cfg_dir, "plans.json"))
+    lm, dataset_json = _label_manager(cfg_dir)
+    ckpts = find_fold_checkpoints(cfg_dir, folds=args.f)
+    predictor = SlidingWindowPredictor.from_checkpoints(
+        plan, ckpts, use_mirroring=not args.disable_tta, label_manager=lm)
+
+    prev_predictor = prev_plan = None
+    if args.c == "3d_cascade_fullres":
+        low_dir = _results_config_dir(results_root, ds_name, args.tr,
+                                      "3d_lowres")
+        if not os.path.isdir(low_dir):
+            raise SystemExit(f"cascade prediction requires the trained "
+                             f"3d_lowres stage ({low_dir} missing)")
+        prev_plan = SegPlan3D.load(os.path.join(low_dir, "plans.json"))
+        prev_predictor = SlidingWindowPredictor.from_checkpoints(
+            prev_plan, find_fold_checkpoints(low_dir, folds=args.f),
+            use_mirroring=not args.disable_tta)
+
+    rw = determine_reader_writer_from_dataset_json(dataset_json)
+    ending = dataset_json.get("file_ending", ".npy").lower()
+    os.makedirs(args.o, exist_ok=True)
+    groups = {}
+    for fn in sorted(os.listdir(args.i)):
+        if not fn.lower().endswith(ending):
+            continue
+        stem = fn[: -len(ending)]
+        case, _, ch = stem.rpartition("_")
+        key = case if (case and ch.isdigit() and len(ch) == 4) else stem
+        groups.setdefault(key, []).append(fn)
+
+    def _to_grid(vol, spacing, target_spacing):
+        if tuple(spacing) == tuple(target_spacing):
+            return vol
+        new_shape = compute_new_shape(vol.shape[:3], spacing, target_spacing)
+        return resample_data_3d(vol, new_shape, spacing, order=3)
+
+    n = 0
+    for case, files in sorted(groups.items()):
+        out_path = os.path.join(args.o, f"{case}{ending}")
+        if args.continue_prediction and os.path.exists(out_path):
+            continue
+        data, props = rw.read_images(
+            [os.path.join(args.i, f) for f in sorted(files)])
+        vol = np.moveaxis(data, 0, -1).astype(np.float32)  # (Z,H,W,c)
+        spacing = tuple(props.get("spacing", (1.0, 1.0, 1.0)))
+        mean = vol.mean(axis=(0, 1, 2), keepdims=True)
+        std = vol.std(axis=(0, 1, 2), keepdims=True)
+        vol_n = (vol - mean) / np.maximum(std, 1e-8)
+
+        grid = _to_grid(vol_n, spacing, plan.spacing)
+        if prev_predictor is not None:
+            low = _to_grid(vol_n, spacing, prev_plan.spacing)
+            seg_low = np.asarray(prev_predictor.predict(low))
+            if tuple(seg_low.shape) != tuple(grid.shape[:3]):
+                seg_low = resample_data_3d(seg_low, grid.shape[:3],
+                                           prev_plan.spacing, is_seg=True)
+            onehot = np.eye(plan.num_classes,
+                            dtype=np.float32)[np.maximum(seg_low, 0)][..., 1:]
+            grid = np.concatenate([grid, onehot], axis=-1)
+        logits = np.asarray(predictor.predict_logits(grid))
+        seg = lm.convert_logits_to_segmentation(logits) if lm is not None \
+            else np.argmax(logits, axis=-1)
+        if tuple(seg.shape) != tuple(vol.shape[:3]):
+            seg = resample_data_3d(np.asarray(seg), vol.shape[:3],
+                                   plan.spacing, is_seg=True)
+        rw.write_seg(np.asarray(seg).astype(np.uint8), out_path,
+                     properties=props)
+        if args.save_probabilities:
+            from ldiffusion_tpu.segmentor.export import save_probabilities_npz
+
+            save_probabilities_npz(logits, os.path.join(args.o, f"{case}.npz"),
+                                   label_manager=lm)
+        n += 1
+    print(f"{n} volumetric predictions → {args.o}")
+    return args.o
+
+
 def cmd_predict(args) -> str:
     """folder prediction (reference ``predict_from_raw_data.py:637-767``)."""
     from PIL import Image
@@ -262,6 +549,8 @@ def cmd_predict(args) -> str:
         find_fold_checkpoints,
     )
 
+    if args.c in VOLUMETRIC_CONFIGS:
+        return _cmd_predict_volumetric(args)
     results_root = _require(args.results or env_paths.results_dir(warn=False),
                             "--results", "LDIFFUSION_RESULTS")
     raw_root = args.raw or env_paths.raw_dir(warn=False)
@@ -705,11 +994,14 @@ def build_parser() -> argparse.ArgumentParser:
                         help="fingerprint + plan + preprocess (nnUNetv2_plan_and_preprocess)")
     common(pp)
     pp.add_argument("--verify_dataset_integrity", action="store_true")
+    pp.add_argument("--hbm_budget", type=int, default=None,
+                    help="volumetric planning memory budget in bytes "
+                         "(per-chip; the -gpu_memory_target analog)")
     pp.set_defaults(fn=cmd_plan_and_preprocess)
 
     tr = sub.add_parser("train", help="train one fold (nnUNetv2_train)")
     common(tr)
-    tr.add_argument("-c", default="2d", help="configuration (2d)")
+    tr.add_argument("-c", default="2d", help="configuration: 2d | 3d_fullres | 3d_lowres | 3d_cascade_fullres")
     tr.add_argument("-f", default="0", help="fold index or 'all'")
     tr.add_argument("-tr", default="nnUNetTrainer", help="trainer variant name")
     tr.add_argument("--c", dest="c_continue", action="store_true",
@@ -727,8 +1019,11 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("-i", required=True, help="input folder of PNGs")
     pr.add_argument("-o", required=True, help="output folder")
     pr.add_argument("-d", type=int, required=True)
-    pr.add_argument("-c", default="2d")
-    pr.add_argument("-f", nargs="+", default=["0"], help="folds to ensemble")
+    pr.add_argument("-c", default="2d", help="configuration: 2d | 3d_fullres | 3d_lowres | 3d_cascade_fullres")
+    pr.add_argument("-f", nargs="+", default=["0", "1", "2", "3", "4"],
+                    help="folds to ensemble (default: all five, matching "
+                         "nnUNetv2_predict; untrained folds are skipped "
+                         "with a warning)")
     pr.add_argument("-tr", default="nnUNetTrainer")
     pr.add_argument("--save_probabilities", action="store_true")
     pr.add_argument("--continue_prediction", action="store_true")
@@ -794,7 +1089,9 @@ def build_parser() -> argparse.ArgumentParser:
     pm.add_argument("-i", required=True)
     pm.add_argument("-o", required=True)
     pm.add_argument("-m", required=True, help="model (config) folder")
-    pm.add_argument("-f", nargs="+", default=["0"])
+    pm.add_argument("-f", nargs="+", default=["0", "1", "2", "3", "4"],
+                    help="folds to ensemble (default: all five; untrained "
+                         "folds are skipped with a warning)")
     pm.add_argument("--save_probabilities", action="store_true")
     pm.add_argument("--disable_tta", action="store_true")
     pm.set_defaults(fn=cmd_predict_from_modelfolder)

@@ -202,6 +202,24 @@ class PreprocessedDataset:
             ds.cases[cid] = pc
         return ds
 
+    def save(self, directory: str) -> str:
+        """Persist already-preprocessed cases (2D or 3D) to the npz/json
+        layout ``load`` reads — the disk step ``build`` performs inline,
+        factored out for the volumetric pipeline whose preprocessing happens
+        in ``preprocess_case_3d``."""
+        os.makedirs(directory, exist_ok=True)
+        for cid, pc in self.cases.items():
+            np.savez(os.path.join(directory, f"{cid}.npz"),
+                     data=pc.data, seg=pc.seg)
+            props = dict(pc.properties)
+            props["class_locations"] = {
+                str(k): np.asarray(v).tolist()
+                for k, v in props.get("class_locations", {}).items()
+            }
+            with open(os.path.join(directory, f"{cid}.json"), "w") as f:
+                json.dump(props, f)
+        return directory
+
     @classmethod
     def load(cls, directory: str) -> "PreprocessedDataset":
         ds = cls(directory=directory)

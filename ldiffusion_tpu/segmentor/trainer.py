@@ -17,6 +17,7 @@ tp/fp/fn is a device reduction returned replicated.
 """
 from __future__ import annotations
 
+import json
 import os
 import time
 from functools import partial
@@ -53,6 +54,16 @@ class SegTrainState(NamedTuple):
     # reductions are global (XLA inserts the collectives), which matches the
     # reference's SyncBatchNorm DDP wrap (nnUNetTrainer.py:218-220).
     batch_stats: dict = {}
+
+
+def _validation_barrier(name: str) -> None:
+    """Cross-host barrier for final validation (reference
+    ``nnUNetTrainer.py:1226-1243`` ``dist.barrier()``). Module-level so tests
+    can fake multi-host by monkeypatching; only reached when
+    ``jax.process_count() > 1``."""
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
 
 
 def poly_lr(initial_lr: float, epoch: int, max_epochs: int, exponent: float = 0.9) -> float:
@@ -145,20 +156,33 @@ class SegmentorTrainer:
         # count would misalign with the reference's per-epoch stepping, so the
         # optimizer reads lr from a mutable scale.
         opt_name = getattr(self.variant, "optimizer", "sgd") if self.variant else "sgd"
-        if opt_name == "adam":
-            inner = lambda learning_rate: optax.adamw(learning_rate, weight_decay=0.0)
+        if opt_name == "adan":
+            # real Adan (core/optim.py) — decay is DECOUPLED inside the
+            # update ((θ - lr·u)/(1 + lr·wd), adan_pytorch semantics), so no
+            # coupled add_decayed_weights here (reference
+            # variants/optimizer/nnUNetTrainerAdan.py:16-19).
+            from ldiffusion_tpu.core.optim import adan
+
+            def make_tx(learning_rate):
+                return optax.chain(
+                    optax.clip_by_global_norm(config.grad_clip),
+                    adan(learning_rate, weight_decay=config.weight_decay),
+                )
         else:
-            inner = lambda learning_rate: optax.sgd(learning_rate, momentum=config.momentum,
-                                                    nesterov=True)
-        # torch order (reference nnUNetTrainer.py:145-146, :907-911): clip the
-        # raw grads (clip_grad_norm_ 12), then the optimizer applies coupled
-        # L2 (wd*param added to the clipped grad) inside the step.
-        def make_tx(learning_rate):
-            return optax.chain(
-                optax.clip_by_global_norm(config.grad_clip),
-                optax.add_decayed_weights(config.weight_decay),
-                inner(learning_rate),
-            )
+            if opt_name == "adam":
+                inner = lambda learning_rate: optax.adamw(learning_rate, weight_decay=0.0)
+            else:
+                inner = lambda learning_rate: optax.sgd(learning_rate, momentum=config.momentum,
+                                                        nesterov=True)
+            # torch order (reference nnUNetTrainer.py:145-146, :907-911): clip
+            # the raw grads (clip_grad_norm_ 12), then the optimizer applies
+            # coupled L2 (wd*param added to the clipped grad) inside the step.
+            def make_tx(learning_rate):
+                return optax.chain(
+                    optax.clip_by_global_norm(config.grad_clip),
+                    optax.add_decayed_weights(config.weight_decay),
+                    inner(learning_rate),
+                )
 
         self.tx = optax.inject_hyperparams(make_tx)(learning_rate=config.initial_lr)
         self.weight_decay = config.weight_decay
@@ -539,41 +563,83 @@ class SegmentorTrainer:
         # the label manager routes regions/ignore regimes through the
         # inference nonlin + regions_class_order painting (reference
         # predict_from_raw_data.py:459-494 → label_handling.py:128-176) —
-        # argmax on sigmoid region heads would be WRONG
+        # argmax on sigmoid region heads would be WRONG.
+        # Mirror TTA follows the TRAINING mirror config (reference
+        # inference_allowed_mirroring_axes, nnUNetTrainer.py:1161-1167):
+        # NoMirroring validates without flips; onlyMirror01 restricts axes.
+        use_mirroring = True
+        mirror_axes = None
+        if self.variant is not None:
+            use_mirroring = self.variant.mirror_tta
+            mirror_axes = tuple(a for a in self.augment_cfg.mirror_axes
+                                if a < len(self.plan.patch_size))
         predictor = SlidingWindowPredictor(self.plan, pvars, dtype=dtype,
-                                           label_manager=self.label_manager)
-        preds, gts = [], []
+                                           label_manager=self.label_manager,
+                                           use_mirroring=use_mirroring,
+                                           mirror_axes=mirror_axes)
         n_proc = _jax.process_count()
         idx = _jax.process_index()
         for i, (img, lab) in enumerate(zip(val_images, val_labels)):
             if i % n_proc != idx:
                 continue  # interleaved case sharding across hosts
             seg = predictor.predict(_np.asarray(img, _np.float32))
-            _Image.fromarray(seg).save(os.path.join(out_dir, f"case_{i:03d}.png"))
-            _Image.fromarray(_np.asarray(lab, _np.uint8)).save(
-                os.path.join(gt_out, f"case_{i:03d}.png"))
-            preds.append(seg)
-            gts.append(_np.asarray(lab))
+            if seg.ndim == 3:   # volumetric configs: .npy cases
+                _np.save(os.path.join(out_dir, f"case_{i:03d}.npy"), seg)
+                _np.save(os.path.join(gt_out, f"case_{i:03d}.npy"),
+                         _np.asarray(lab, _np.int16))
+            else:
+                _Image.fromarray(seg).save(
+                    os.path.join(out_dir, f"case_{i:03d}.png"))
+                _Image.fromarray(_np.asarray(lab, _np.uint8)).save(
+                    os.path.join(gt_out, f"case_{i:03d}.png"))
+        # Multi-host: barrier so every rank's cases are on the shared FS
+        # before rank 0 scores the folder; all other ranks score NOTHING
+        # (the reference barriers and computes metrics on rank 0 only,
+        # nnUNetTrainer.py:1226-1243).
+        if n_proc > 1:
+            _validation_barrier("final_validation_cases_written")
+        summary_path = os.path.join(out_dir, "summary.json")
         lm = self.label_manager
-        summary = compute_metrics_on_folder(
-            out_dir, gt_out, self.plan.num_classes,
-            output_file=os.path.join(out_dir, "summary.json"),
-            regions_or_labels=(lm.labels_or_regions_for_eval
-                               if lm is not None else None),
-            ignore_label=lm.ignore_label if lm is not None else None)
-        if determine_pp and preds:
-            # the CM-based pp scorer needs a class count covering every VALUE
-            # appearing in preds/gts — painted region labels and the ignore
-            # label can exceed the network head count
-            n_pp = self.plan.num_classes
-            if lm is not None:
-                vals = list(lm.all_labels)
-                if lm.has_ignore_label:
-                    vals.append(lm.ignore_label)
-                n_pp = max(vals) + 1
-            steps = determine_postprocessing(preds, gts, n_pp)
-            save_postprocessing(steps, os.path.join(self.output_dir,
-                                                    "postprocessing.json"))
+        if idx == 0:
+            summary = compute_metrics_on_folder(
+                out_dir, gt_out, self.plan.num_classes,
+                output_file=summary_path,
+                regions_or_labels=(lm.labels_or_regions_for_eval
+                                   if lm is not None else None),
+                ignore_label=lm.ignore_label if lm is not None else None)
+            if determine_pp:
+                # pp is determined over ALL ranks' cases, reloaded from the
+                # shared validation folder; the CM-based scorer needs a class
+                # count covering every VALUE appearing in preds/gts — painted
+                # region labels and the ignore label can exceed the head count
+                def _read_case(d, f):
+                    if f.endswith(".npy"):
+                        return _np.load(os.path.join(d, f))
+                    return _np.asarray(_Image.open(os.path.join(d, f)))
+
+                preds, gts = [], []
+                for f in sorted(os.listdir(out_dir)):
+                    if f.endswith((".png", ".npy")):
+                        preds.append(_read_case(out_dir, f))
+                        gts.append(_read_case(gt_out, f))
+                if preds:
+                    n_pp = self.plan.num_classes
+                    ig = None
+                    if lm is not None:
+                        vals = list(lm.all_labels)
+                        if lm.has_ignore_label:
+                            vals.append(lm.ignore_label)
+                            ig = lm.ignore_label
+                        n_pp = max(vals) + 1
+                    steps = determine_postprocessing(preds, gts, n_pp,
+                                                     ignore_label=ig)
+                    save_postprocessing(steps, os.path.join(
+                        self.output_dir, "postprocessing.json"))
+        if n_proc > 1:
+            _validation_barrier("final_validation_summary_written")
+        if idx != 0:
+            with open(summary_path) as f:
+                summary = json.load(f)
         self.log(f"final validation foreground dice: "
                  f"{summary['foreground_mean']['Dice']:.4f}")
         return summary
