@@ -19,6 +19,11 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute e2e test (train loops, CLI pipelines)")
+
+
 @pytest.fixture
 def rng():
     return jax.random.key(0)

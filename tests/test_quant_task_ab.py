@@ -1,0 +1,159 @@
+"""Task-level int8 accuracy evidence (VERDICT r3 item 1a): the W8A8 mode is
+validated through the FULL transform→train path, not just per-op bounds.
+
+* 5-step trajectory drift: the compounding case the 1-step test misses —
+  ``trajectory_features`` (the benchmark's exact program) under int8_all vs
+  bf16/f32 reference on identical noise; per-step drift must stay bounded
+  (no exponential error growth through the 6-pass UNet/VAE chain).
+* Dice A/B: color-task images are one_step_transform'ed under each mode and
+  an identical segmentor is trained on each; the fg-Dice delta bounds the
+  END-TASK effect of quantization. int8_all (every conv/matmul quantized) is
+  a strict superset of the shape-gated "int8" bench mode — if the task
+  survives int8_all it survives the gated mode. The compared statistic is
+  the MEAN pseudo-dice over the last 6 epochs (the final-epoch value swings
+  ±0.04 with training noise; calibration run 2026-08-17: per-epoch dice
+  tracks within ~0.02 between arms, e.g. epoch 8 = 0.7448 ref vs 0.7450
+  int8, and the last-6 means were 0.705 ref vs 0.716 int8).
+
+Transform contract: reference ``segmentor.py:86-112``; random weights (no SD
+checkpoint in this environment, BASELINE.md weights watch).
+"""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from ldiffusion_tpu.ops.quant import quant_mode, set_quant_mode  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _restore_quant_mode():
+    prev = quant_mode()
+    yield
+    set_quant_mode(prev)
+
+
+def _color_task(rng, n, size=64):
+    images, segs = [], []
+    for _ in range(n):
+        img = np.full((size, size, 3), 0.5, np.float32)
+        seg = np.zeros((size, size), np.int64)
+        for c, color in ((1, (0.9, 0.2, 0.2)), (2, (0.2, 0.3, 0.9))):
+            for _ in range(3):
+                cy, cx = rng.integers(8, size - 8, 2)
+                r = rng.integers(5, 10)
+                yy, xx = np.mgrid[:size, :size]
+                m = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+                seg[m] = c
+                img[m] = color
+        img += rng.normal(0, 0.02, img.shape).astype(np.float32)
+        images.append(np.clip(img, 0, 1))
+        segs.append(seg)
+    return images, segs
+
+
+@pytest.mark.slow
+def test_trajectory_drift_bounded():
+    from ldiffusion_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
+    from ldiffusion_tpu.diffusion.pipeline import (
+        SDComponents,
+        trajectory_features,
+    )
+
+    comps = SDComponents.random(image_size=64)
+    rng = np.random.default_rng(0)
+    raw = rng.random((2, 64, 64, 3)).astype(np.float32)
+    images = jnp.asarray((raw - IMAGENET_MEAN) / IMAGENET_STD)
+    key = jax.random.key(7)
+
+    def run():
+        # fresh jit per mode — the quant mode changes the traced computation
+        fn = jax.jit(lambda p, x: trajectory_features(comps, p, x, key,
+                                                      num_inference_steps=5))
+        traj, rgb = fn(comps.params, images)
+        return np.asarray(traj, np.float64), np.asarray(rgb, np.float64)
+
+    set_quant_mode("none")
+    traj_ref, rgb_ref = run()
+    set_quant_mode("int8_all")
+    traj_q, rgb_q = run()
+
+    assert np.isfinite(traj_q).all() and np.isfinite(rgb_q).all()
+    # per-step mean drift over the trajectory scan (last axis = timestep)
+    drift = np.abs(traj_q - traj_ref).mean(axis=(0, 1, 2))
+    print("per-step trajectory drift:", np.round(drift, 4))
+    # bounded error: every step's mean drift stays under 0.05 on [0,1]
+    # grayscale decodes, and compounding is sub-2× across the scan
+    assert drift.max() < 0.05, drift
+    assert drift[-1] < 2.0 * max(drift[0], 1e-3), (
+        f"drift compounds across the trajectory: {drift}")
+    assert np.abs(rgb_q - rgb_ref).mean() < 0.05
+
+
+@pytest.mark.slow
+def test_segmentor_dice_int8_vs_bf16_transform(tmp_path):
+    from ldiffusion_tpu.core.config import MeshConfig, SegmentorTrainConfig
+    from ldiffusion_tpu.core.dist import make_mesh
+    from ldiffusion_tpu.data.augment import AugmentConfig
+    from ldiffusion_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
+    from ldiffusion_tpu.diffusion.pipeline import SDComponents
+    from ldiffusion_tpu.segmentor.dataset_builder import DiffusionTransform
+    from ldiffusion_tpu.segmentor.planner import SegPlan
+    from ldiffusion_tpu.segmentor.preprocess import PreprocessedDataset
+    from ldiffusion_tpu.segmentor.trainer import SegmentorTrainer
+
+    comps = SDComponents.random(image_size=64)
+    rng = np.random.default_rng(0)
+    tr_images, tr_segs = _color_task(rng, n=6)
+    va_images, va_segs = _color_task(rng, n=2)
+
+    def transform_all(mode):
+        set_quant_mode(mode)
+        tf = DiffusionTransform(comps, batch_size=2)  # fresh jit per mode
+        norm = [(np.asarray(i) - IMAGENET_MEAN) / IMAGENET_STD
+                for i in tr_images + va_images]
+        out = tf(np.stack(norm).astype(np.float32))
+        return [np.asarray(o) for o in out[:6]], \
+               [np.asarray(o) for o in out[6:]]
+
+    def train_and_dice(tr_t, va_t, out_dir):
+        plan = SegPlan(patch_size=(32, 32), batch_size=4,
+                       features_per_stage=(8, 16, 32), strides=(1, 2, 2),
+                       n_conv_per_stage=2, num_classes=3, in_channels=3,
+                       normalization="zscore_image", intensity_properties={},
+                       median_shape=(64, 64), batch_dice=True,
+                       deep_supervision=True)
+        mesh = make_mesh(MeshConfig(data=2, fsdp=1, tensor=1),
+                         devices=jax.devices()[:2])
+        cfg = SegmentorTrainConfig(num_epochs=12, iters_per_epoch=25,
+                                   val_iters_per_epoch=3,
+                                   compute_dtype="float32", save_every=50)
+        aug = AugmentConfig(p_noise=0.0, p_blur=0.0, p_brightness=0.0,
+                            p_contrast=0.0, p_lowres=0.0, p_gamma_invert=0.0,
+                            p_gamma=0.0)
+        trainer = SegmentorTrainer(plan, cfg, mesh, output_dir=str(out_dir),
+                                   augment=aug)
+        # training itself ALWAYS runs unquantized (inference-only contract,
+        # ops/quant.py) — only the transform differs between the arms
+        set_quant_mode("none")
+        trainer.run_training(
+            PreprocessedDataset.build(tr_t, tr_segs, num_classes=3),
+            PreprocessedDataset.build(va_t, va_segs, num_classes=3))
+        # mean over the converged tail — single-epoch dice is ±0.04 noisy
+        return float(np.mean(trainer.epoch_log.data["mean_fg_dice"][-6:]))
+
+    tr_ref, va_ref = transform_all("none")
+    tr_q, va_q = transform_all("int8_all")
+    # sanity: quantization changed the transform (this is a real A/B)...
+    assert np.abs(np.stack(tr_ref) - np.stack(tr_q)).max() > 1e-5
+    # ...but the images stay close
+    assert np.abs(np.stack(tr_ref) - np.stack(tr_q)).mean() < 0.05
+
+    dice_ref = train_and_dice(tr_ref, va_ref, tmp_path / "ref")
+    dice_q = train_and_dice(tr_q, va_q, tmp_path / "q")
+    print(f"fg-dice bf16-transform={dice_ref:.4f} int8-transform={dice_q:.4f}")
+    # well above the no-signal floor (~0.0 at epoch 0): the random-weight
+    # transform keeps the color task learnable (calibrated ~0.70-0.72)
+    assert dice_ref > 0.6, "transform destroyed the task signal (bf16 arm)"
+    assert abs(dice_ref - dice_q) < 0.03, (dice_ref, dice_q)
