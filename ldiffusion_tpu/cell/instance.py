@@ -228,16 +228,23 @@ class FlowNetProposer:
         return prop
 
     @classmethod
-    def load_pretrained(cls, **kw) -> "FlowNetProposer":
-        """The committed synthetic-data artifact (see
-        ``tools/train_flownet_artifact.py`` for provenance). Trained on
-        synthetic blob/ellipse instances — a starting point / demo weight,
-        not a pathology-domain model (the reference's cyto2 is likewise an
-        out-of-domain generalist, ``model/conductor.py:156-180``)."""
+    def load_pretrained(cls, domain: str = "synthetic", **kw) -> "FlowNetProposer":
+        """A committed artifact (see ``tools/train_flownet_artifact.py`` /
+        ``tools/train_flownet_transformed.py`` for provenance).
+
+        * ``domain="synthetic"``: trained on raw synthetic blob/ellipse
+          instances — a starting point / demo weight, not a pathology-domain
+          model (the reference's cyto2 is likewise an out-of-domain
+          generalist, ``model/conductor.py:156-180``).
+        * ``domain="transformed"``: fine-tuned on one-step-DIFFUSION-
+          transformed synthetic instances — the domain the cell path
+          actually feeds the proposer (reference ``segmentor.py:252-257``
+          caches transformed loaders)."""
         import os
 
+        assert domain in ("synthetic", "transformed"), domain
         path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                            "artifacts", "flownet_synthetic.npz")
+                            "artifacts", f"flownet_{domain}.npz")
         return cls.load(path, **kw)
 
     def predict_flows(self, image: np.ndarray) -> np.ndarray:
