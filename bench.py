@@ -105,6 +105,25 @@ def build(batch: int):
         return comps.vae.apply({"params": params["vae"]}, latents,
                                method=comps.vae.decode_latents)
 
+    from ldiffusion_tpu.ops.quant import (
+        quant_mode,
+        record_quant_sites,
+        set_static_amax,
+    )
+
+    if quant_mode() == "int8_static":
+        # enumerate the gated sites via a pure eval_shape trace and install
+        # constant activation scales: the quantize becomes a fused elementwise
+        # epilogue of the producing GN/SiLU pass and the per-iter amax pass
+        # disappears. Bench weights are structural zeros, so amax=1.0 stands
+        # in for a real calibration (calibrate_static_scales) — the compiled
+        # program is identical either way, only the constants differ.
+        key0 = jax.random.key(0)
+        imgs0 = jax.ShapeDtypeStruct((batch, IMAGE, IMAGE, 3), jnp.float32)
+        sites = record_quant_sites(pipeline, params, imgs0, key0)
+        print(f"int8_static: {len(sites)} calibrated sites", file=sys.stderr)
+        set_static_amax({s: 1.0 for s in sites})
+
     fn = jax.jit(pipeline, donate_argnums=())
 
     def pipeline_repeat(params, images, key, iters):
@@ -159,17 +178,19 @@ def main():
     except Exception as e:
         print(f"claim_tpu: {e}; proceeding on default backend", file=sys.stderr)
     # A/B kernel toggles: BENCH_ATTN / BENCH_GN in {auto,xla,pallas};
-    # BENCH_QUANT in {none,int8} (W8A8 conv/matmul, ops/quant.py)
+    # BENCH_QUANT in {none,int8,int8_static} (W8A8 conv/matmul, ops/quant.py)
     from ldiffusion_tpu.ops.attention import set_attention_mode
     from ldiffusion_tpu.ops.groupnorm import set_groupnorm_mode
     from ldiffusion_tpu.ops.quant import set_quant_mode
 
     set_attention_mode(os.environ.get("BENCH_ATTN", "auto"))
     set_groupnorm_mode(os.environ.get("BENCH_GN", "auto"))
-    # int8 default: shape-gated W8A8 measured 15.48 vs 14.05 patches/s
-    # (+10.2%) with bounded accuracy deltas (tests/test_quant.py, BASELINE.md
-    # round 3); BENCH_QUANT=none reverts to pure bf16
-    set_quant_mode(os.environ.get("BENCH_QUANT", "int8"))
+    # int8_static default: shape-gated W8A8 with statically-calibrated
+    # activation scales — 15.50-15.51 vs 15.43-15.45 dynamic vs 14.05 bf16
+    # (BASELINE.md rounds 3-4), accuracy bounded at op/transform/task level
+    # (tests/test_quant.py, tests/test_quant_task_ab.py); BENCH_QUANT=none
+    # reverts to pure bf16
+    set_quant_mode(os.environ.get("BENCH_QUANT", "int8_static"))
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     best = 0.0

@@ -55,10 +55,15 @@ class QConv(nn.Module):
         if isinstance(pad, int):
             pad = ((pad, pad), (pad, pad))
         mode = quant_mode()
+        gated = conv_shape_gate(x.shape[-1], self.features)
         if mode == "int8_all" or (
-                mode == "int8" and conv_shape_gate(x.shape[-1], self.features)):
+                mode in ("int8", "int8_record", "int8_static") and gated):
+            # site key = flax module path: stable across programs (the scanned
+            # trajectory vs the single-step calibration run hit the same keys)
+            site = "/".join(self.scope.path) if mode in (
+                "int8_record", "int8_static") else None
             return int8_conv(x, kernel, self.strides, pad, bias,
-                             out_dtype=self.dtype)
+                             out_dtype=self.dtype, site=site)
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),
             window_strides=self.strides, padding=list(pad),

@@ -25,10 +25,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# "none" | "int8" | "int8_all". Module-level so model code stays declarative;
-# flipping the mode changes traced computation, so set it BEFORE
-# building/jitting. "int8" applies the empirical shape gate below;
-# "int8_all" quantizes every QConv/QDense (ablation mode).
+# "none" | "int8" | "int8_all" | "int8_record" | "int8_static". Module-level
+# so model code stays declarative; flipping the mode changes traced
+# computation, so set it BEFORE building/jitting. "int8" applies the
+# empirical shape gate below; "int8_all" quantizes every QConv/QDense
+# (ablation mode); "int8_record"/"int8_static" are the two halves of the
+# statically-calibrated pipeline (see calibrate_static_scales).
 _MODE = "none"
 
 # Approximate the activation amax on a spatially-subsampled view (16× less
@@ -37,11 +39,55 @@ _MODE = "none"
 AMAX_SUBSAMPLE = 4
 AMAX_MARGIN = 1.1
 
+# Static activation scales: {flax module path -> concrete amax (float)}.
+# Populated by calibrate_static_scales; consumed under mode "int8_static",
+# where the quantize step becomes a pure elementwise op (no amax reduce) that
+# XLA fuses into the producing GN/SiLU pass — the measured dyn→static
+# microbench gap is +5-10% (BASELINE.md round 3).
+_STATIC_AMAX: dict = {}
+# During "int8_record" tracing: {path -> traced exact amax} (returned as jit
+# outputs by calibrate_static_scales, so they become concrete post-run).
+_RECORDED: dict = {}
+
 
 def set_quant_mode(mode: str) -> None:
     global _MODE
-    assert mode in ("none", "int8", "int8_all"), mode
+    assert mode in ("none", "int8", "int8_all", "int8_record",
+                    "int8_static"), mode
     _MODE = mode
+
+
+def set_static_amax(scales) -> None:
+    """Install calibrated per-site activation amaxes (``None`` clears)."""
+    _STATIC_AMAX.clear()
+    if scales:
+        _STATIC_AMAX.update(scales)
+
+
+def static_amax() -> dict:
+    return dict(_STATIC_AMAX)
+
+
+def calibrate_static_scales(fn, *args) -> dict:
+    """Run ``fn(*args)`` once under "int8_record" and return the exact
+    per-call-site activation amaxes {module path: float}.
+
+    Record-mode QConvs compute the int8 forward exactly like the gated
+    dynamic mode but additionally expose their exact activation amax; this
+    helper snapshots those traced values as auxiliary jit outputs so one
+    execution yields concrete numbers. ``fn`` must not hide quantized calls
+    inside an inner ``lax.scan`` (tracers could not escape) — calibrate on
+    the non-scanned single-step program; site KEYS are flax module paths, so
+    they transfer to the scanned program regardless of call order."""
+    prev = _MODE
+    _RECORDED.clear()
+    set_quant_mode("int8_record")
+    try:
+        _, amaxes = jax.jit(lambda *a: (fn(*a), dict(_RECORDED)))(*args)
+    finally:
+        set_quant_mode(prev)
+        _RECORDED.clear()
+    return {k: float(v) for k, v in amaxes.items()}
 
 
 def quant_mode() -> str:
@@ -86,15 +132,61 @@ def _act_quant_subsampled(x):
     return q, scale
 
 
-def int8_conv(x, kernel, strides, padding, bias=None, out_dtype=jnp.bfloat16):
+def _act_quant(x, site=None):
+    """Activation quantization dispatch on the current mode:
+
+    * "int8_record" + site: exact full amax, recorded into ``_RECORDED`` for
+      :func:`calibrate_static_scales` to snapshot.
+    * "int8_static" + calibrated site: CONSTANT scale (calibrated amax ×
+      AMAX_MARGIN) — the quantize is pure elementwise, fuses into the
+      producer, and the amax pass disappears. Values beyond the calibrated
+      range clip at ±127.
+    * otherwise: dynamic subsampled amax (the round-3 default).
+    """
+    if site is not None and _MODE == "int8_record":
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        _RECORDED[site] = amax
+        scale = jnp.maximum(amax, 1e-8) / 127.0
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                     -127, 127).astype(jnp.int8)
+        return q, scale
+    if site is not None and _MODE == "int8_static" and site in _STATIC_AMAX:
+        scale = jnp.float32(max(_STATIC_AMAX[site] * AMAX_MARGIN, 1e-8) / 127.0)
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                     -127, 127).astype(jnp.int8)
+        return q, scale
+    return _act_quant_subsampled(x)
+
+
+def record_quant_sites(fn, *args) -> list:
+    """Names of the gated quantized call sites ``fn(*args)`` hits, WITHOUT
+    executing anything (``jax.eval_shape`` — a pure Python trace). Unlike
+    :func:`calibrate_static_scales` this tolerates sites inside ``lax.scan``
+    (only the keys are read, never the traced values), so it can enumerate
+    the scanned trajectory program directly. Args may be arrays or
+    ShapeDtypeStructs."""
+    prev = _MODE
+    _RECORDED.clear()
+    set_quant_mode("int8_record")
+    try:
+        jax.eval_shape(fn, *args)
+        return sorted(_RECORDED.keys())
+    finally:
+        set_quant_mode(prev)
+        _RECORDED.clear()
+
+
+def int8_conv(x, kernel, strides, padding, bias=None, out_dtype=jnp.bfloat16,
+              site=None):
     """NHWC × HWIO int8 convolution with f32 rescale.
 
     x: (B, H, W, Cin) float; kernel: (kh, kw, Cin, Cout) float;
     padding: sequence of (lo, hi) pairs. Activations quantize per-tensor
-    (subsampled amax); weights per-output-channel; the conv accumulates in
-    int32 on the MXU.
+    (subsampled amax, or a calibrated static scale when ``site`` names a
+    calibrated call site); weights per-output-channel; the conv accumulates
+    in int32 on the MXU.
     """
-    xq, sx = _act_quant_subsampled(x)
+    xq, sx = _act_quant(x, site)
     wq, sw = _sym_quant(kernel, axes=(0, 1, 2))        # per-out-channel
     out = jax.lax.conv_general_dilated(
         xq, wq, window_strides=strides, padding=list(padding),

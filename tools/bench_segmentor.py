@@ -41,6 +41,14 @@ if _b:
     plan = _dc.replace(plan, batch_size=int(_b))
 if os.environ.get("SEG_BENCH_REMAT") == "1":
     plan = _dc.replace(plan, remat_decoder=True)
+_f0 = os.environ.get("SEG_BENCH_F0")
+if _f0:
+    # layout-copy probe (VERDICT r4 item 7): widen the shallow stages to
+    # min-channel F0 — if the [1024,16,129,32] space-partitioned layout
+    # copies stem from the 32-channel stages, padding them may remove the
+    # copies for less than their 59 ms/step cost
+    plan = _dc.replace(plan, features_per_stage=tuple(
+        max(int(_f0), f) for f in plan.features_per_stage))
 
 print(f"plan: patch {plan.patch_size} batch {plan.batch_size} "
       f"features {plan.features_per_stage}", flush=True)
