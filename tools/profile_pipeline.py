@@ -24,7 +24,7 @@ import numpy as np  # noqa: E402
 from bench import build  # noqa: E402
 from ldiffusion_tpu.ops.quant import set_quant_mode  # noqa: E402
 
-set_quant_mode(os.environ.get("BENCH_QUANT", "int8"))  # bench default
+set_quant_mode(os.environ.get("BENCH_QUANT", "int8_static"))  # bench default
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 comps, fn, rep = build(B)
 img = jnp.asarray(np.random.default_rng(0).normal(size=(B, 512, 512, 3)).astype(np.float32))
