@@ -70,7 +70,10 @@ def adan(learning_rate, betas=(0.02, 0.08, 0.01), eps: float = 1e-8,
                  (1 - b3) * n + b3 * jnp.square(g + (1 - b2) * _diff(g, pg)),
                  grads, state.prev_grad, state.n)
 
-        lr = learning_rate(count) if callable(learning_rate) else learning_rate
+        # optax convention (scale_by_schedule, adamw): schedules are
+        # evaluated at the PRE-increment count (first step uses schedule(0))
+        lr = learning_rate(state.count) if callable(learning_rate) \
+            else learning_rate
         cf = count.astype(jnp.float32)
         c1 = 1.0 - (1.0 - b1) ** cf
         c2 = 1.0 - (1.0 - b2) ** cf

@@ -147,13 +147,18 @@ def _manual_conv(xp, k, axis):
 
 
 def _median_filter(img, size: int):
-    """k×k median per channel via shift-and-sort (static k). img: (H,W,C)."""
+    """k×k median per channel via shift-and-sort (static k). img: (H,W,C).
+
+    Edge-replicate padded so borders never wrap around to the opposite edge
+    (scipy's MedianFilterTransform uses reflect borders; edge replication is
+    the same convention as ``_blur``/``_laplacian`` here)."""
     r = size // 2
+    xp = jnp.pad(img, ((r, r), (r, r), (0, 0)), mode="edge")
     shifts = []
     for dy in range(-r, r + 1):
         for dx in range(-r, r + 1):
-            shifts.append(jnp.roll(jnp.roll(img, dy, 0), dx, 1))
-    stack = jnp.stack(shifts, 0)
+            shifts.append(jnp.roll(jnp.roll(xp, dy, 0), dx, 1))
+    stack = jnp.stack(shifts, 0)[:, r:-r, r:-r]
     return jnp.sort(stack, axis=0)[len(shifts) // 2]
 
 

@@ -126,6 +126,7 @@ def find_best_configuration(
 
 def collect_fold_cv_predictions(plan, dataset_dir: str, pp_dataset,
                                 use_mirroring: bool = True,
+                                mirror_axes=None,
                                 label_manager=None):
     """Cross-validation probability maps for one configuration: every
     ``fold_<f>`` checkpoint predicts ITS OWN validation split (the reference
@@ -165,12 +166,14 @@ def collect_fold_cv_predictions(plan, dataset_dir: str, pp_dataset,
         # maps feed the painted-segmentation scoring downstream
         predictor = SlidingWindowPredictor.from_checkpoints(
             plan, [ckpt], use_mirroring=use_mirroring,
-            label_manager=label_manager)
+            mirror_axes=mirror_axes, label_manager=label_manager)
         for k in splits[fold]["val"]:
             case = pp_dataset[k]
             keys.append(k)
+            # preprocessed-store data is already normalized — do not
+            # re-z-score (would distort non-zscore schemes)
             probs.append(predictor.predict_probabilities(
-                np.asarray(case.data, np.float32)))
+                np.asarray(case.data, np.float32), normalize=False))
             gts.append(np.maximum(case.seg, 0))
     return keys, probs, gts
 
@@ -179,6 +182,7 @@ def find_best_configuration_from_folds(configs, pp_dataset, num_classes: int,
                                        allow_ensembling: bool = True,
                                        output_json: Optional[str] = None,
                                        use_mirroring: bool = True,
+                                       mirror_axes=None,
                                        label_manager=None) -> Dict:
     """The CV-consuming ``find_best_configuration`` (reference
     ``evaluation/find_best_configuration.py:1-333``): score every trained
@@ -196,7 +200,7 @@ def find_best_configuration_from_folds(configs, pp_dataset, num_classes: int,
     for name, (plan, dataset_dir) in configs.items():
         keys, probs, fold_gts = collect_fold_cv_predictions(
             plan, dataset_dir, pp_dataset, use_mirroring=use_mirroring,
-            label_manager=label_manager)
+            mirror_axes=mirror_axes, label_manager=label_manager)
         order = np.argsort(keys)
         config_probs[name] = [probs[i] for i in order]
         g = [fold_gts[i] for i in order]

@@ -94,6 +94,22 @@ def _is_volumetric_dataset(dataset_json) -> bool:
     return dataset_json.get("file_ending", ".png").lower() != ".png"
 
 
+def _group_channel_files(img_dir: str, ending: str) -> dict:
+    """case-id -> [filenames]: channel files ``<case>_NNNN<ending>`` group
+    per case; anything else is its own single-file case (reference
+    ``utilities/utils.py`` create_lists_from_splitted_dataset_folder).
+    Single source of truth for training AND prediction input grouping."""
+    groups = {}
+    for fn in sorted(os.listdir(img_dir)):
+        if not fn.lower().endswith(ending):
+            continue
+        stem = fn[: -len(ending)]
+        case, _, ch = stem.rpartition("_")
+        key = case if (case and ch.isdigit() and len(ch) == 4) else stem
+        groups.setdefault(key, []).append(fn)
+    return groups
+
+
 def load_volume_cases(ds_dir: str, split: str, dataset_json):
     """(case_ids, volumes (Z,H,W,C) float32, labels (Z,H,W) int16, spacings)
     from a volumetric imagesTr/labelsTr pair via the dataset's reader-writer
@@ -108,16 +124,7 @@ def load_volume_cases(ds_dir: str, split: str, dataset_json):
     ids, vols, labs, spacings = [], [], [], []
     if not os.path.isdir(img_dir):
         return ids, vols, labs, spacings
-    groups = {}
-    for fn in sorted(os.listdir(img_dir)):
-        if not fn.lower().endswith(ending):
-            continue
-        stem = fn[: -len(ending)]
-        case, _, ch = stem.rpartition("_")
-        if case and ch.isdigit() and len(ch) == 4:
-            groups.setdefault(case, []).append(fn)
-        else:
-            groups.setdefault(stem, []).append(fn)
+    groups = _group_channel_files(img_dir, ending)
     for case, files in sorted(groups.items()):
         data, props = rw.read_images(
             [os.path.join(img_dir, f) for f in sorted(files)])
@@ -288,16 +295,20 @@ def _ensure_prev_stage_predictions(pp_dir: str, results_root: str,
                                    ds_name: str, trainer_name: str,
                                    lowres_plan, ds) -> str:
     """Cascade stage-2 inputs: the lowres stage's segmentations resampled to
-    the fullres grid, cached under ``predicted_next_stage/3d_cascade_fullres``
-    (reference ``nnUNetTrainer.py`` predicted_next_stage convention /
-    ``run_training.py`` --npz + predict_next_stage). Generated here from the
-    trained 3d_lowres checkpoints when absent."""
-    from ldiffusion_tpu.segmentor.predictor import (
-        SlidingWindowPredictor,
-        find_fold_checkpoints,
-    )
+    the fullres grid, cached under ``predicted_next_stage/3d_cascade_fullres``.
+
+    Fold discipline matches the reference: there, predicted_next_stage is
+    written during each lowres fold's VALIDATION (``nnUNetTrainer.py:
+    1140-1226`` — a case is only ever predicted by the fold that did NOT
+    train on it). Reproduced here via ``splits_final.json``: each trained
+    fold predicts its own validation cases with its own checkpoint. Cases
+    whose covering fold is untrained fall back to an ensemble of whatever
+    folds exist — with a loud leakage warning, since those checkpoints saw
+    the case in training."""
+    from ldiffusion_tpu.segmentor.predictor import SlidingWindowPredictor
     from ldiffusion_tpu.segmentor.preprocess import PreprocessedDataset
     from ldiffusion_tpu.segmentor.resample import resample_data_3d
+    from ldiffusion_tpu.segmentor.splits import do_split
 
     out = os.path.join(pp_dir, "predicted_next_stage", "3d_cascade_fullres")
     missing = [cid for cid in ds.keys()
@@ -306,22 +317,51 @@ def _ensure_prev_stage_predictions(pp_dir: str, results_root: str,
         return out
     low_dir = _results_config_dir(results_root, ds_name, trainer_name,
                                   "3d_lowres")
-    try:
-        ckpts = find_fold_checkpoints(low_dir)
-    except FileNotFoundError:
+    fold_ckpts = {}
+    for f in range(5):
+        for name in ("checkpoint_best.pkl", "checkpoint_final.pkl"):
+            p = os.path.join(low_dir, f"fold_{f}", name)
+            if os.path.exists(p):
+                fold_ckpts[f] = p
+                break
+    if not fold_ckpts:
         raise SystemExit(
             "3d_cascade_fullres requires a trained 3d_lowres stage — run "
             f"`train -d ... -c 3d_lowres` first (no checkpoints under "
             f"{low_dir})")
     low_ds = PreprocessedDataset.load(os.path.join(pp_dir, "ldPlans_3d_lowres"))
-    predictor = SlidingWindowPredictor.from_checkpoints(lowres_plan, ckpts)
+    splits_file = os.path.join(pp_dir, "splits_final.json")
     os.makedirs(out, exist_ok=True)
-    for cid in missing:
-        seg = np.asarray(predictor.predict(low_ds[cid].data))
+
+    def _write(predictor, cid):
+        seg = np.asarray(predictor.predict(low_ds[cid].data, normalize=False))
         tgt = tuple(ds[cid].seg.shape)
         if tuple(seg.shape) != tgt:
             seg = resample_data_3d(seg, tgt, lowres_plan.spacing, is_seg=True)
         np.save(os.path.join(out, f"{cid}.npy"), seg.astype(np.int16))
+
+    remaining = set(missing)
+    for f, ckpt in sorted(fold_ckpts.items()):
+        _, va_keys = do_split(ds.keys(), f, splits_file)
+        mine = remaining & set(va_keys)
+        if not mine:
+            continue
+        predictor = SlidingWindowPredictor.from_checkpoints(
+            lowres_plan, [ckpt])
+        for cid in sorted(mine):
+            _write(predictor, cid)
+        remaining -= mine
+    if remaining:
+        print(f"WARNING: lowres folds "
+              f"{sorted(set(range(5)) - set(fold_ckpts))} are untrained — "
+              f"{len(remaining)} case(s) predicted with an ensemble of the "
+              f"trained folds, which SAW them in training (train/inference "
+              f"leak for the cascade stage; train all 5 lowres folds to "
+              f"avoid this)")
+        predictor = SlidingWindowPredictor.from_checkpoints(
+            lowres_plan, sorted(fold_ckpts.values()))
+        for cid in sorted(remaining):
+            _write(predictor, cid)
     return out
 
 
@@ -428,7 +468,9 @@ def cmd_train(args) -> str:
                              continue_training=args.c_continue)
     val_imgs = [ds[k].data for k in va_keys]
     val_labs = [np.maximum(ds[k].seg, 0) for k in va_keys]
-    trainer.perform_actual_validation(val_imgs, val_labs)
+    # preprocessed-store cases are already normalized (and the cascade's
+    # appended one-hot channels must stay {0,1}) — do not re-normalize
+    trainer.perform_actual_validation(val_imgs, val_labs, normalize=False)
     print(f"fold {fold} done → {fold_dir}")
     return fold_dir
 
@@ -464,8 +506,19 @@ def _cmd_predict_volumetric(args) -> str:
     plan = SegPlan3D.load(os.path.join(cfg_dir, "plans.json"))
     lm, dataset_json = _label_manager(cfg_dir)
     ckpts = find_fold_checkpoints(cfg_dir, folds=args.f)
+    # variant-restricted mirror TTA (reference
+    # inference_allowed_mirroring_axes — a NoMirroring/NoDA-trained model
+    # must not be flipped at inference)
+    from ldiffusion_tpu.segmentor.variants import (
+        get_variant,
+        inference_mirror_config,
+    )
+
+    vmirror, vaxes = inference_mirror_config(get_variant(args.tr), 3)
+    use_mirroring = (not args.disable_tta) and vmirror
     predictor = SlidingWindowPredictor.from_checkpoints(
-        plan, ckpts, use_mirroring=not args.disable_tta, label_manager=lm)
+        plan, ckpts, use_mirroring=use_mirroring, mirror_axes=vaxes,
+        label_manager=lm)
 
     prev_predictor = prev_plan = None
     if args.c == "3d_cascade_fullres":
@@ -477,19 +530,12 @@ def _cmd_predict_volumetric(args) -> str:
         prev_plan = SegPlan3D.load(os.path.join(low_dir, "plans.json"))
         prev_predictor = SlidingWindowPredictor.from_checkpoints(
             prev_plan, find_fold_checkpoints(low_dir, folds=args.f),
-            use_mirroring=not args.disable_tta)
+            use_mirroring=use_mirroring, mirror_axes=vaxes)
 
     rw = determine_reader_writer_from_dataset_json(dataset_json)
     ending = dataset_json.get("file_ending", ".npy").lower()
     os.makedirs(args.o, exist_ok=True)
-    groups = {}
-    for fn in sorted(os.listdir(args.i)):
-        if not fn.lower().endswith(ending):
-            continue
-        stem = fn[: -len(ending)]
-        case, _, ch = stem.rpartition("_")
-        key = case if (case and ch.isdigit() and len(ch) == 4) else stem
-        groups.setdefault(key, []).append(fn)
+    groups = _group_channel_files(args.i, ending)
 
     def _to_grid(vol, spacing, target_spacing):
         if tuple(spacing) == tuple(target_spacing):
@@ -510,17 +556,20 @@ def _cmd_predict_volumetric(args) -> str:
         std = vol.std(axis=(0, 1, 2), keepdims=True)
         vol_n = (vol - mean) / np.maximum(std, 1e-8)
 
+        # vol_n is already z-scored — predict with normalize=False so the
+        # predictor does not re-normalize (which would distort post-resample
+        # statistics and, for the cascade, crush the {0,1} one-hot channels)
         grid = _to_grid(vol_n, spacing, plan.spacing)
         if prev_predictor is not None:
             low = _to_grid(vol_n, spacing, prev_plan.spacing)
-            seg_low = np.asarray(prev_predictor.predict(low))
+            seg_low = np.asarray(prev_predictor.predict(low, normalize=False))
             if tuple(seg_low.shape) != tuple(grid.shape[:3]):
                 seg_low = resample_data_3d(seg_low, grid.shape[:3],
                                            prev_plan.spacing, is_seg=True)
             onehot = np.eye(plan.num_classes,
                             dtype=np.float32)[np.maximum(seg_low, 0)][..., 1:]
             grid = np.concatenate([grid, onehot], axis=-1)
-        logits = np.asarray(predictor.predict_logits(grid))
+        logits = np.asarray(predictor.predict_logits(grid, normalize=False))
         seg = lm.convert_logits_to_segmentation(logits) if lm is not None \
             else np.argmax(logits, axis=-1)
         if tuple(seg.shape) != tuple(vol.shape[:3]):
@@ -562,8 +611,18 @@ def cmd_predict(args) -> str:
     plan = SegPlan.load(os.path.join(cfg_dir, "plans.json"))
     lm, _ = _label_manager(cfg_dir)
     ckpts = find_fold_checkpoints(cfg_dir, folds=args.f)
+    # mirror TTA restricted to the axes the -tr variant trained with
+    # (reference inference_allowed_mirroring_axes)
+    from ldiffusion_tpu.segmentor.variants import (
+        get_variant,
+        inference_mirror_config,
+    )
+
+    vmirror, vaxes = inference_mirror_config(get_variant(args.tr),
+                                             len(plan.patch_size))
     predictor = SlidingWindowPredictor.from_checkpoints(
-        plan, ckpts, use_mirroring=not args.disable_tta, label_manager=lm)
+        plan, ckpts, use_mirroring=(not args.disable_tta) and vmirror,
+        mirror_axes=vaxes, label_manager=lm)
 
     os.makedirs(args.o, exist_ok=True)
     n = 0
@@ -787,11 +846,18 @@ def cmd_find_best_configuration(args):
         if os.path.exists(src):
             shutil.copy(src, os.path.join(cfg_dir, "splits_final.json"))
         configs[c] = (SegPlan.load(os.path.join(cfg_dir, "plans.json")), cfg_dir)
+    from ldiffusion_tpu.segmentor.variants import (
+        get_variant,
+        inference_mirror_config,
+    )
+
+    vmirror, vaxes = inference_mirror_config(get_variant(args.tr), 2)
     info = find_best_configuration_from_folds(
         configs, ds, num_classes=lm.num_segmentation_heads,
         output_json=os.path.join(results_root, os.path.basename(ds_dir),
                                  "inference_information.json"),
-        use_mirroring=not args.disable_tta, label_manager=lm)
+        use_mirroring=(not args.disable_tta) and vmirror,
+        mirror_axes=vaxes, label_manager=lm)
     print(f"best configuration: {info['best_configuration']} "
           f"(fg dice {info['score']:.4f})")
     return info
@@ -821,8 +887,21 @@ def cmd_predict_from_modelfolder(args):
     plan = SegPlan.load(os.path.join(cfg_dir, "plans.json"))
     lm, _ = _label_manager(cfg_dir)
     ckpts = find_fold_checkpoints(cfg_dir, folds=args.f)
+    # the results-folder naming encodes the trainer ({tr}__ldPlans__{cfg},
+    # _results_config_dir) — recover it so variant mirror restrictions
+    # (NoMirroring/NoDA/onlyMirror01) survive modelfolder prediction too
+    from ldiffusion_tpu.segmentor.variants import (
+        KNOWN_VARIANT_NAMES,
+        get_variant,
+        inference_mirror_config,
+    )
+
+    tr_name = os.path.basename(os.path.normpath(cfg_dir)).split("__")[0]
+    variant = get_variant(tr_name) if tr_name in KNOWN_VARIANT_NAMES else None
+    vmirror, vaxes = inference_mirror_config(variant, len(plan.patch_size))
     predictor = SlidingWindowPredictor.from_checkpoints(
-        plan, ckpts, use_mirroring=not args.disable_tta, label_manager=lm)
+        plan, ckpts, use_mirroring=(not args.disable_tta) and vmirror,
+        mirror_axes=vaxes, label_manager=lm)
     os.makedirs(args.o, exist_ok=True)
     n = 0
     for fn in sorted(os.listdir(args.i)):

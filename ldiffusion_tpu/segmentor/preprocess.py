@@ -189,17 +189,9 @@ class PreprocessedDataset:
         case_ids = case_ids or [f"case_{i:03d}" for i in range(len(images))]
         ds = cls(directory=directory)
         for cid, img, seg in zip(case_ids, images, segs):
-            pc = preprocess_case(img, seg, num_classes)
-            if directory:
-                os.makedirs(directory, exist_ok=True)
-                np.savez(os.path.join(directory, f"{cid}.npz"), data=pc.data, seg=pc.seg)
-                props = dict(pc.properties)
-                props["class_locations"] = {
-                    str(k): v.tolist() for k, v in props["class_locations"].items()
-                }
-                with open(os.path.join(directory, f"{cid}.json"), "w") as f:
-                    json.dump(props, f)
-            ds.cases[cid] = pc
+            ds.cases[cid] = preprocess_case(img, seg, num_classes)
+        if directory:
+            ds.save(directory)
         return ds
 
     def save(self, directory: str) -> str:

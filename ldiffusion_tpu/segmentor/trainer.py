@@ -533,14 +533,20 @@ class SegmentorTrainer:
 
     # ------------------------------------------------------------------
     def perform_actual_validation(self, val_images, val_labels, gt_dir=None,
-                                  determine_pp: bool = True):
+                                  determine_pp: bool = True,
+                                  normalize: bool = True):
         """Final validation: sliding-window predict every val case, write
         PNGs + nnUNet-style summary.json, optionally determine connected-
         component postprocessing (reference ``nnUNetTrainer.py:1119-1246`` +
         ``determine_postprocessing``). val_images: list of (H, W, C) arrays
         (already diffusion-transformed); val_labels: list of (H, W) ints.
         Multi-host: cases are interleaved by process index (reference
-        ``nnUNetTrainer.py:1138-1139``)."""
+        ``nnUNetTrainer.py:1138-1139``).
+
+        normalize: z-score the images before prediction. Pass False when the
+        cases come from the PREPROCESSED store (already normalized there —
+        re-normalizing would distort non-zscore schemes and, for the cascade
+        config, corrupt the appended {0,1} prev-stage one-hot channels)."""
         import jax as _jax
         import numpy as _np
         from PIL import Image as _Image
@@ -566,13 +572,12 @@ class SegmentorTrainer:
         # argmax on sigmoid region heads would be WRONG.
         # Mirror TTA follows the TRAINING mirror config (reference
         # inference_allowed_mirroring_axes, nnUNetTrainer.py:1161-1167):
-        # NoMirroring validates without flips; onlyMirror01 restricts axes.
-        use_mirroring = True
-        mirror_axes = None
-        if self.variant is not None:
-            use_mirroring = self.variant.mirror_tta
-            mirror_axes = tuple(a for a in self.augment_cfg.mirror_axes
-                                if a < len(self.plan.patch_size))
+        # NoMirroring/NoDA validate without flips; onlyMirror01 restricts
+        # axes. Shared with the CLI predict paths via inference_mirror_config.
+        from ldiffusion_tpu.segmentor.variants import inference_mirror_config
+
+        use_mirroring, mirror_axes = inference_mirror_config(
+            self.variant, len(self.plan.patch_size))
         predictor = SlidingWindowPredictor(self.plan, pvars, dtype=dtype,
                                            label_manager=self.label_manager,
                                            use_mirroring=use_mirroring,
@@ -582,7 +587,8 @@ class SegmentorTrainer:
         for i, (img, lab) in enumerate(zip(val_images, val_labels)):
             if i % n_proc != idx:
                 continue  # interleaved case sharding across hosts
-            seg = predictor.predict(_np.asarray(img, _np.float32))
+            seg = predictor.predict(_np.asarray(img, _np.float32),
+                                    normalize=normalize)
             if seg.ndim == 3:   # volumetric configs: .npy cases
                 _np.save(os.path.join(out_dir, f"case_{i:03d}.npy"), seg)
                 _np.save(os.path.join(gt_out, f"case_{i:03d}.npy"),

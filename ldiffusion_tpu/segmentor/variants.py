@@ -176,6 +176,10 @@ def get_variant(name: str = "default",
         aug = _DA5
     if "NoDA" in name:
         aug = _NO_DA
+        # reference nnUNetTrainerNoDA.py:37-38 sets mirror_axes=None AND
+        # inference_allowed_mirroring_axes=None — no flips in training, so
+        # validation/inference must not mirror-TTA either
+        mirror = False
     if "NoMirroring" in name:
         aug = dataclasses.replace(aug, p_mirror=0)
         mirror = False
@@ -257,3 +261,24 @@ def lr_at_epoch(variant: TrainerVariant, epoch: int, max_epochs: int) -> float:
     if variant.lr_schedule == "cosine":
         return lr0 * 0.5 * (1 + math.cos(math.pi * epoch / max_epochs))
     return lr0
+
+
+def inference_mirror_config(variant: Optional[TrainerVariant],
+                            ndim: int) -> tuple:
+    """``(use_mirroring, mirror_axes)`` this variant allows at inference.
+
+    The reference records ``inference_allowed_mirroring_axes`` at training
+    time and the predictor honors it (``nnUNetTrainer.py:1161-1167``,
+    ``predict_from_raw_data.py:530-545``): NoMirroring and NoDA trained
+    without flips → no TTA flips (``nnUNetTrainerNoDA.py:37-38``);
+    onlyMirror01 restricts to axis (0,) in 2D / (0, 1) in 3D. Every
+    predictor construction site (trainer validation AND the CLI predict
+    paths) must route through this so prediction matches validation."""
+    if variant is None:
+        return True, None
+    if not variant.mirror_tta:
+        return False, None
+    axes = variant.augment.mirror_axes
+    if ndim == 2 and variant.mirror_axes_2d is not None:
+        axes = variant.mirror_axes_2d
+    return True, tuple(a for a in axes if 0 <= a < ndim)

@@ -170,7 +170,8 @@ def test_validation_threads_variant_mirror_config(tmp_path, monkeypatch):
     lab = rng.integers(0, 2, size=(16, 16))
 
     for name, want_mirror, want_axes in (
-            ("nnUNetTrainerNoMirroring", False, (0, 1)),
+            ("nnUNetTrainerNoMirroring", False, None),
+            ("nnUNetTrainerNoDA", False, None),
             ("nnUNetTrainer_onlyMirror01", True, (0,)),
             ("nnUNetTrainer", True, (0, 1))):
         variant = get_variant(name)

@@ -2,9 +2,11 @@
 validated through the FULL transform→train path, not just per-op bounds.
 
 * 5-step trajectory drift: the compounding case the 1-step test misses —
-  ``trajectory_features`` (the benchmark's exact program) under int8_all vs
-  bf16/f32 reference on identical noise; per-step drift must stay bounded
-  (no exponential error growth through the 6-pass UNet/VAE chain).
+  ``trajectory_features`` (the benchmark's exact program) under int8_all
+  (and, separately, the bench-default int8_static with first-step-calibrated
+  constant scales) vs bf16/f32 reference on identical noise; per-step drift
+  must stay bounded (no exponential error growth through the 6-pass
+  UNet/VAE chain).
 * Dice A/B: color-task images are one_step_transform'ed under each mode and
   an identical segmentor is trained on each; the fg-Dice delta bounds the
   END-TASK effect of quantization. int8_all (every conv/matmul quantized) is
@@ -89,6 +91,65 @@ def test_trajectory_drift_bounded():
     assert drift[-1] < 2.0 * max(drift[0], 1e-3), (
         f"drift compounds across the trajectory: {drift}")
     assert np.abs(rgb_q - rgb_ref).mean() < 0.05
+
+
+@pytest.mark.slow
+def test_trajectory_drift_bounded_static():
+    """int8_static — the BENCH DEFAULT mode — through the scanned 5-step
+    trajectory: constant activation scales calibrated from the non-scanned
+    single-step program (module-path keys transfer into the scan; the
+    bench.py flow). The question this bounds: do first-step-calibrated
+    scales clip later trajectory steps? Needs the sd15-channel VAE so the
+    shape gate engages (tiny configs have no ≥256-channel sites)."""
+    from ldiffusion_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
+    from ldiffusion_tpu.diffusion.pipeline import (
+        SDComponents,
+        one_step_transform,
+        trajectory_features,
+        trajectory_text_emb,
+    )
+    from ldiffusion_tpu.models.vae import VAEConfig
+    from ldiffusion_tpu.ops.quant import (
+        calibrate_static_scales,
+        set_static_amax,
+        static_amax,
+    )
+
+    comps = SDComponents.random(image_size=64, vae_config=VAEConfig.sd15())
+    rng = np.random.default_rng(0)
+    raw = rng.random((1, 64, 64, 3)).astype(np.float32)
+    images = jnp.asarray((raw - IMAGENET_MEAN) / IMAGENET_STD)
+    key = jax.random.key(7)
+
+    def run():
+        fn = jax.jit(lambda p, x: trajectory_features(comps, p, x, key,
+                                                      num_inference_steps=5))
+        traj, rgb = fn(comps.params, images)
+        return np.asarray(traj, np.float64), np.asarray(rgb, np.float64)
+
+    set_quant_mode("none")
+    traj_ref, rgb_ref = run()
+
+    emb = trajectory_text_emb(comps, comps.params, images.shape[0])
+    scales = calibrate_static_scales(
+        lambda im: one_step_transform(comps, comps.params, im, emb), images)
+    assert scales, "no gated sites calibrated"
+    set_quant_mode("int8_static")
+    set_static_amax(scales)
+    try:
+        assert static_amax() == scales
+        traj_s, rgb_s = run()
+    finally:
+        set_static_amax(None)
+        set_quant_mode("none")
+
+    assert np.isfinite(traj_s).all() and np.isfinite(rgb_s).all()
+    drift = np.abs(traj_s - traj_ref).mean(axis=(0, 1, 2))
+    print("per-step trajectory drift [int8_static]:", np.round(drift, 4))
+    assert drift.max() < 0.05, drift
+    assert drift[-1] < 2.0 * max(drift[0], 1e-3), (
+        f"int8_static drift compounds across the trajectory: {drift}")
+    assert np.abs(rgb_s - rgb_ref).mean() < 0.05
 
 
 @pytest.mark.slow

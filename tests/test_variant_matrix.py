@@ -43,6 +43,8 @@ def test_training_length_family():
 def test_da_family():
     assert get_variant("nnUNetTrainerNoDA").augment.p_rotation == 0
     assert get_variant("nnUNetTrainerNoDA").augment.p_mirror == 0
+    # reference nnUNetTrainerNoDA.py:37-38: inference mirroring disabled too
+    assert not get_variant("nnUNetTrainerNoDA").mirror_tta
     v5 = get_variant("nnUNetTrainerDA5")
     # full reference recipe (nnUNetTrainerDA5.py:120-264): p_rot 0.4 /
     # p_scale 0.2, contrast OneOf p 0.2, DA5-only transforms engaged

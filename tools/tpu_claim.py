@@ -8,7 +8,6 @@ previous holder exits (or longer after a SIGKILL).
 """
 import os
 import time
-import uuid
 
 
 def claim_tpu(max_wait: int = 900, poll: int = 25) -> bool:
@@ -26,11 +25,17 @@ def claim_tpu(max_wait: int = 900, poll: int = 25) -> bool:
         try:
             from axon.register import register
 
+            # session_id=None: axon's GLOBAL_CLIENT is a OnceLock whose
+            # options are fixed by the FIRST register() (usually the
+            # sitecustomize boot claim). A re-entry with a fresh uuid fails
+            # "already registered; cannot change session_id"; a re-entry
+            # None defers to the registered session and lets the lease
+            # retry proceed (axon.register._record_or_check_once docs).
             register(
                 None,
                 os.environ.get("PALLAS_AXON_TPU_GEN", "v5e") + ":1x1x1",
                 so_path="/opt/axon/libaxon_pjrt.so",
-                session_id=str(uuid.uuid4()),
+                session_id=None,
                 remote_compile=os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1",
             )
         except Exception as e:  # noqa: BLE001 - retried

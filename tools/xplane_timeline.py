@@ -10,32 +10,13 @@ and attributes busy time to opcode buckets by interval union order.
 Usage: python tools/xplane_timeline.py [glob]
 """
 import collections
-import glob
-import re
 import sys
 
-from tensorflow.tsl.profiler.protobuf import xplane_pb2
-
-_OPCODE = re.compile(r"=\s*[a-z0-9\[\],{}:*/ ()]*?\s*([a-z][a-z0-9-]*)\(")
-_SHORT = re.compile(r"^%?([^ =]+)")
-
-
-def parse(name: str):
-    short = _SHORT.match(name)
-    short = short.group(1) if short else name[:40]
-    m = _OPCODE.search(name)
-    opcode = m.group(1) if m else short.split(".")[0].lstrip("%")
-    return opcode, short
+from xplane_common import load_xspace, parse
 
 
 def main() -> None:
-    paths = []
-    for a in sys.argv[1:]:
-        paths.extend(glob.glob(a, recursive=True))
-    if not paths:
-        paths = sorted(glob.glob("/tmp/jaxtrace/**/*.xplane.pb", recursive=True))
-    space = xplane_pb2.XSpace()
-    space.ParseFromString(open(paths[-1], "rb").read())
+    space = load_xspace(sys.argv[1:])
     for plane in space.planes:
         if "TPU" not in plane.name:
             continue
@@ -79,7 +60,9 @@ def main() -> None:
         print("-- busy by opcode (overlap-deduped) --")
         for k, v in by_op.most_common(25):
             print(f"  {v/1e9:9.2f} ms  {100*v/wall:5.1f}% of wall  {k}")
-        # Which async opcodes are live during the gaps?
+        # Which async opcodes are live during the gaps? Only material gaps
+        # (>10 µs) are attributed — the naive all-gaps × all-spans cross
+        # product is O(1e9+) and never finishes on a real trace.
         gaps = []
         cur_e = wall_s
         for s, e, _ in sync:
@@ -88,19 +71,20 @@ def main() -> None:
             cur_e = max(cur_e, e)
         if cur_e < wall_e:
             gaps.append((cur_e, wall_e))
+        big_gaps = sorted((g for g in gaps if g[1] - g[0] > 10_000_000),
+                          key=lambda g: g[1] - g[0], reverse=True)[:200]
         gap_cover = collections.Counter()
-        for gs, ge in gaps:
+        for gs, ge in big_gaps:
             for s, e, op in async_spans:
                 ov = min(e, ge) - max(s, gs)
                 if ov > 0:
                     gap_cover[op] += ov
-        print("-- async spans live during gaps (may multi-count parallel DMAs) --")
+        print("-- async spans live during gaps >10µs "
+              "(may multi-count parallel DMAs) --")
         for k, v in gap_cover.most_common(10):
             print(f"  {v/1e9:9.2f} ms  {k}")
-        # largest individual gaps
-        gaps.sort(key=lambda g: g[1] - g[0], reverse=True)
         print("-- largest gaps --")
-        for gs, ge in gaps[:10]:
+        for gs, ge in big_gaps[:10]:
             print(f"  {(ge-gs)/1e9:9.2f} ms at +{(gs-wall_s)/1e9:.1f} ms")
 
 
