@@ -26,6 +26,94 @@ import numpy as np
 from ldiffusion_tpu.data.labels import label_lut
 
 
+def generate_dataset_json(output_folder: str,
+                          channel_names: Dict,
+                          labels: Dict,
+                          num_training_cases: int,
+                          file_ending: str,
+                          regions_class_order=None,
+                          dataset_name: Optional[str] = None,
+                          reference: Optional[str] = None,
+                          release: Optional[str] = None,
+                          license: Optional[str] = None,
+                          description: Optional[str] = None,
+                          overwrite_image_reader_writer: Optional[str] = None,
+                          **kwargs) -> Dict:
+    """Public dataset.json writer (reference
+    ``dataset_conversion/generate_dataset_json.py:6-103``): normalizes
+    channel-name keys to strings and label values to ints/tuples, requires
+    ``regions_class_order`` when any label is a multi-value region, writes
+    the optional provenance fields (note the reference's ``licence``
+    spelling, kept for file-format parity), and passes extra kwargs through
+    verbatim."""
+    has_regions = any(isinstance(v, (tuple, list)) and len(v) > 1
+                      for v in labels.values())
+    if has_regions and regions_class_order is None:
+        raise ValueError("labels define regions but regions_class_order is "
+                         "not set — region painting order is required")
+
+    channel_names = {str(k): v for k, v in channel_names.items()}
+    norm_labels = {}
+    for name, value in labels.items():
+        if isinstance(value, (tuple, list)):
+            norm_labels[name] = [int(i) for i in value]
+        else:
+            norm_labels[name] = int(value)
+
+    dataset_json = {
+        "channel_names": channel_names,
+        "labels": norm_labels,
+        "numTraining": int(num_training_cases),
+        "file_ending": file_ending,
+    }
+    if dataset_name is not None:
+        dataset_json["name"] = dataset_name
+    if reference is not None:
+        dataset_json["reference"] = reference
+    if release is not None:
+        dataset_json["release"] = release
+    if license is not None:
+        dataset_json["licence"] = license
+    if description is not None:
+        dataset_json["description"] = description
+    if overwrite_image_reader_writer is not None:
+        dataset_json["overwrite_image_reader_writer"] = overwrite_image_reader_writer
+    if regions_class_order is not None:
+        dataset_json["regions_class_order"] = [int(i) for i in regions_class_order]
+    dataset_json.update(kwargs)
+
+    os.makedirs(output_folder, exist_ok=True)
+    with open(os.path.join(output_folder, "dataset.json"), "w") as f:
+        json.dump(dataset_json, f, indent=4)
+    return dataset_json
+
+
+def create_filelist_dataset(source_dataset_dir: str, target_dataset_dir: str) -> Dict:
+    """File-list dataset: a dataset.json whose ``"dataset"`` dict points at
+    ANOTHER dataset's image/label files via relative paths, so no files are
+    copied (reference ``Dataset988_dummyDataset4.py`` + the ``"dataset"``-key
+    consumption in ``utilities/utils.py:51-66``). Consumers resolve the
+    relative entries against the new dataset dir
+    (``data/io.py:get_train_images_and_targets``)."""
+    from ldiffusion_tpu.data.io import get_train_images_and_targets
+
+    dataset = get_train_images_and_targets(source_dataset_dir)
+    os.makedirs(target_dataset_dir, exist_ok=True)
+    rel = {}
+    for case, entry in dataset.items():
+        rel[case] = {
+            "images": [os.path.relpath(p, target_dataset_dir)
+                       for p in entry["images"]],
+            "label": os.path.relpath(entry["label"], target_dataset_dir),
+        }
+    with open(os.path.join(source_dataset_dir, "dataset.json")) as f:
+        dataset_json = json.load(f)
+    dataset_json["dataset"] = rel
+    with open(os.path.join(target_dataset_dir, "dataset.json"), "w") as f:
+        json.dump(dataset_json, f, indent=4)
+    return dataset_json
+
+
 def _write_dataset_json(path: str, num_training: int, num_classes: int,
                         file_ending: str = ".png", labels: Optional[Dict] = None):
     dataset_json = {

@@ -251,3 +251,60 @@ def determine_reader_writer_from_dataset_json(dataset_json: Dict) -> BaseReaderW
     if name and name in _BY_NAME:
         return _BY_NAME[name]()
     return determine_reader_writer(dataset_json.get("file_ending", ".png"))
+
+
+def group_channel_files(img_dir: str, ending: str) -> Dict[str, list]:
+    """case-id -> [filenames]: channel files ``<case>_NNNN<ending>`` group
+    per case; anything else is its own single-file case (reference
+    ``utilities/utils.py`` create_lists_from_splitted_dataset_folder).
+    Single source of truth for training AND prediction input grouping."""
+    groups: Dict[str, list] = {}
+    for fn in sorted(os.listdir(img_dir)):
+        if not fn.lower().endswith(ending):
+            continue
+        stem = fn[: -len(ending)]
+        case, _, ch = stem.rpartition("_")
+        key = case if (case and ch.isdigit() and len(ch) == 4) else stem
+        groups.setdefault(key, []).append(fn)
+    return groups
+
+
+def get_train_images_and_targets(ds_dir: str,
+                                 dataset_json: Dict = None) -> Dict[str, Dict]:
+    """case-id -> {"images": [abs paths], "label": abs path} for the
+    training split.
+
+    Two sources, matching the reference's
+    ``utilities/utils.py:get_filenames_of_train_images_and_targets`` (:51-66):
+    an explicit ``"dataset"`` dict in dataset.json (per-case image/label
+    paths, relative entries resolved against the dataset dir — the
+    Dataset988-style file-list indirection that lets a dataset borrow files
+    from another without copying), else a scan of imagesTr/labelsTr with
+    ``_NNNN`` channel grouping."""
+    import json as _json
+
+    if dataset_json is None:
+        with open(os.path.join(ds_dir, "dataset.json")) as f:
+            dataset_json = _json.load(f)
+
+    if "dataset" in dataset_json:
+        out: Dict[str, Dict] = {}
+        for case, entry in dataset_json["dataset"].items():
+            label = entry["label"]
+            images = entry["images"]
+            out[case] = {
+                "images": [i if os.path.isabs(i)
+                           else os.path.abspath(os.path.join(ds_dir, i))
+                           for i in images],
+                "label": label if os.path.isabs(label)
+                else os.path.abspath(os.path.join(ds_dir, label)),
+            }
+        return out
+
+    ending = dataset_json.get("file_ending", ".png").lower()
+    img_dir = os.path.join(ds_dir, "imagesTr")
+    lbl_dir = os.path.join(ds_dir, "labelsTr")
+    groups = group_channel_files(img_dir, ending) if os.path.isdir(img_dir) else {}
+    return {case: {"images": [os.path.join(img_dir, f) for f in files],
+                   "label": os.path.join(lbl_dir, case + ending)}
+            for case, files in groups.items()}

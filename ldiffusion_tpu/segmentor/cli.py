@@ -64,8 +64,32 @@ def _require(value: Optional[str], flag: str, env: str) -> str:
 def load_png_cases(ds_dir: str, split: str = "Tr"):
     """(case_ids, images [0,1] float (H,W,C), labels int32 (H,W)) from an
     imagesTr/labelsTr pair (NaturalImage2DIO value semantics —
-    ``data/io.py``)."""
+    ``data/io.py``). For the Tr split a ``"dataset"`` file-list in
+    dataset.json takes precedence over the folder scan (reference
+    ``utilities/utils.py:51-66``, the Dataset988-style indirection)."""
     from PIL import Image
+
+    if split == "Tr":
+        dj_path = os.path.join(ds_dir, "dataset.json")
+        if os.path.exists(dj_path):
+            with open(dj_path) as f:
+                dj = json.load(f)
+            if "dataset" in dj:
+                from ldiffusion_tpu.data.io import get_train_images_and_targets
+
+                ids, images, labels = [], [], []
+                for case, entry in sorted(
+                        get_train_images_and_targets(ds_dir, dj).items()):
+                    img = np.asarray(
+                        Image.open(entry["images"][0]).convert("RGB"),
+                        np.float32) / 255.0
+                    lbl = (np.asarray(Image.open(entry["label"]),
+                                      np.uint8).astype(np.int32)
+                           if os.path.exists(entry["label"]) else None)
+                    ids.append(case)
+                    images.append(img)
+                    labels.append(lbl)
+                return ids, images, labels
 
     img_dir = os.path.join(ds_dir, f"images{split}")
     lbl_dir = os.path.join(ds_dir, f"labels{split}")
@@ -95,19 +119,11 @@ def _is_volumetric_dataset(dataset_json) -> bool:
 
 
 def _group_channel_files(img_dir: str, ending: str) -> dict:
-    """case-id -> [filenames]: channel files ``<case>_NNNN<ending>`` group
-    per case; anything else is its own single-file case (reference
-    ``utilities/utils.py`` create_lists_from_splitted_dataset_folder).
-    Single source of truth for training AND prediction input grouping."""
-    groups = {}
-    for fn in sorted(os.listdir(img_dir)):
-        if not fn.lower().endswith(ending):
-            continue
-        stem = fn[: -len(ending)]
-        case, _, ch = stem.rpartition("_")
-        key = case if (case and ch.isdigit() and len(ch) == 4) else stem
-        groups.setdefault(key, []).append(fn)
-    return groups
+    """Delegates to the canonical grouping in ``data/io.py`` (kept as a local
+    name for the CLI's historical call sites)."""
+    from ldiffusion_tpu.data.io import group_channel_files
+
+    return group_channel_files(img_dir, ending)
 
 
 def load_volume_cases(ds_dir: str, split: str, dataset_json):
@@ -119,9 +135,23 @@ def load_volume_cases(ds_dir: str, split: str, dataset_json):
 
     rw = determine_reader_writer_from_dataset_json(dataset_json)
     ending = dataset_json.get("file_ending", ".npy").lower()
+    ids, vols, labs, spacings = [], [], [], []
+
+    if split == "Tr" and "dataset" in dataset_json:
+        from ldiffusion_tpu.data.io import get_train_images_and_targets
+
+        for case, entry in sorted(
+                get_train_images_and_targets(ds_dir, dataset_json).items()):
+            data, props = rw.read_images(entry["images"])
+            vols.append(np.moveaxis(data, 0, -1).astype(np.float32))
+            labs.append(rw.read_seg(entry["label"])[0][0].astype(np.int16)
+                        if os.path.exists(entry["label"]) else None)
+            ids.append(case)
+            spacings.append(tuple(props.get("spacing", (1.0, 1.0, 1.0))))
+        return ids, vols, labs, spacings
+
     img_dir = os.path.join(ds_dir, f"images{split}")
     lbl_dir = os.path.join(ds_dir, f"labels{split}")
-    ids, vols, labs, spacings = [], [], [], []
     if not os.path.isdir(img_dir):
         return ids, vols, labs, spacings
     groups = _group_channel_files(img_dir, ending)
@@ -973,6 +1003,15 @@ def cmd_install_model(args):
     print(f"model installed → {out}")
 
 
+def cmd_download_model(args):
+    from ldiffusion_tpu.segmentor.model_sharing import (
+        download_and_install_from_url,
+    )
+
+    out = download_and_install_from_url(args.url, args.o)
+    print(f"model downloaded and installed → {out}")
+
+
 def cmd_convert_msd(args):
     from ldiffusion_tpu.data.converters import convert_msd_dataset
 
@@ -1191,6 +1230,13 @@ def build_parser() -> argparse.ArgumentParser:
     im.add_argument("zip")
     im.add_argument("-o", required=True)
     im.set_defaults(fn=cmd_install_model)
+
+    dl = sub.add_parser("download_model",
+                        help="nnUNetv2_download_pretrained_model_by_url analog "
+                             "(http(s):// needs egress; file:// works offline)")
+    dl.add_argument("url")
+    dl.add_argument("-o", required=True, help="install target directory")
+    dl.set_defaults(fn=cmd_download_model)
 
     ms = sub.add_parser("convert_msd", help="nnUNetv2_convert_MSD_dataset analog")
     ms.add_argument("-i", required=True)

@@ -35,3 +35,36 @@ def import_model(zip_path: str, target_dir: str) -> str:
         assert "plans.json" in names, "not a valid exported model (no plans.json)"
         z.extractall(target_dir)
     return target_dir
+
+
+def download_file(url: str, local_filename: str,
+                  chunk_size: int = 8192 * 16) -> str:
+    """Stream a URL to a local file (reference
+    ``model_sharing/model_download.py:37-46``). Uses urllib instead of
+    requests; ``file://`` URLs work too, which is also how the offline test
+    exercises this path (this environment has no egress)."""
+    from urllib.request import urlopen
+
+    with urlopen(url, timeout=100) as r, open(local_filename, "wb") as f:
+        while True:
+            chunk = r.read(chunk_size)
+            if not chunk:
+                break
+            f.write(chunk)
+    return local_filename
+
+
+def download_and_install_from_url(url: str, target_dir: str) -> str:
+    """Download a model zip and install it into the results tree (reference
+    ``model_sharing/model_download.py:11-34``: temp file in $HOME, install,
+    always remove the temp)."""
+    import time
+
+    tempfile_path = os.path.join(os.path.expanduser("~"),
+                                 f".lddownload_{int(time.time() * 1e7)}")
+    try:
+        download_file(url, tempfile_path)
+        return import_model(tempfile_path, target_dir)
+    finally:
+        if os.path.isfile(tempfile_path):
+            os.remove(tempfile_path)

@@ -135,6 +135,48 @@ def test_model_sharing_roundtrip(tmp_path):
     assert os.path.exists(os.path.join(dst, "checkpoint_best.pkl"))
 
 
+def test_model_download_from_file_url(tmp_path):
+    """download_and_install_from_url over a file:// URL (the offline route —
+    reference ``model_sharing/model_download.py:11-34``); the temp download
+    file must be cleaned up afterwards."""
+    from ldiffusion_tpu.segmentor.model_sharing import (
+        download_and_install_from_url,
+        export_model,
+    )
+
+    src = tmp_path / "model"
+    src.mkdir()
+    (src / "plans.json").write_text("{}")
+    (src / "checkpoint_best.pkl").write_bytes(b"x")
+    z = export_model(str(src), str(tmp_path / "model.zip"))
+    before = set(os.listdir(os.path.expanduser("~")))
+    dst = download_and_install_from_url(
+        "file://" + os.path.abspath(z), str(tmp_path / "installed"))
+    assert os.path.exists(os.path.join(dst, "plans.json"))
+    leftovers = [f for f in os.listdir(os.path.expanduser("~"))
+                 if f.startswith(".lddownload_") and f not in before]
+    assert not leftovers
+
+
+def test_model_download_bad_zip_cleans_temp(tmp_path):
+    from ldiffusion_tpu.segmentor.model_sharing import (
+        download_and_install_from_url,
+    )
+
+    bad = tmp_path / "notazip.bin"
+    bad.write_bytes(b"garbage")
+    import zipfile
+
+    import pytest
+
+    with pytest.raises(zipfile.BadZipFile):
+        download_and_install_from_url("file://" + os.path.abspath(bad),
+                                      str(tmp_path / "installed"))
+    leftovers = [f for f in os.listdir(os.path.expanduser("~"))
+                 if f.startswith(".lddownload_")]
+    assert not leftovers
+
+
 def test_pretrained_transfer():
     from ldiffusion_tpu.segmentor.pretrained import transfer_pretrained_weights
 
