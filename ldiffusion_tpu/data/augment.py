@@ -89,6 +89,126 @@ class AugmentConfig:
     # configure_rotation_dummyDA_mirroring: quasi-isotropic 3D patches rotate
     # ±30° about each axis)
     rotation_max_3d: float = 0.5235987755982988  # pi/6
+    # scale range fed into the INITIAL-patch-size formula. None → the
+    # reference's legacy (0.85, 1.25) ("doesn't even use the correct scale
+    # range", nnUNetTrainer.py:419-421); DA5 passes its true (0.7, 1.43)
+    # (nnUNetTrainerDA5.py:82-84).
+    initial_scale_range: tuple = None
+
+
+# ---------------------------------------------------------------------------
+# spatial-DA configuration (rotation ranges / dummy-2D / initial patch size)
+# ---------------------------------------------------------------------------
+
+ANISO_THRESHOLD = 3.0  # reference configuration.py:7
+
+
+@dataclasses.dataclass(frozen=True)
+class SpatialDAPlan:
+    """Output of ``configure_spatial_da`` (the reference's
+    ``configure_rotation_dummyDA_mirroring_and_inital_patch_size`` tuple,
+    ``nnUNetTrainer.py:375-431``)."""
+
+    rotation_max: tuple        # per-axis max |angle| in radians (x, y, z)
+    do_dummy_2d: bool
+    initial_patch_size: tuple  # sample at this size, center-crop to final
+    mirror_axes: tuple
+
+
+def _rotated_extent(coords, axis_matrix):
+    import numpy as np
+
+    return np.abs(np.asarray(coords, np.float64) @ axis_matrix)
+
+
+def get_initial_patch_size(final_patch_size, rot_x, rot_y, rot_z,
+                           scale_range) -> tuple:
+    """Patch size to SAMPLE so that rotation + zoom-out still see real
+    content at the final patch's corners (reference
+    ``data_augmentation/compute_initial_patch_size.py:get_patch_size``:
+    rotate the extent vector by each single-axis max rotation — row-vector
+    convention — take the componentwise max, divide by min scale).
+
+    The formula underestimates the true rotated bounding box (it rotates the
+    extent VECTOR, not the corners) — reproduced as-is for parity; the
+    remaining corner pixels stay padded exactly like the reference's."""
+    import numpy as np
+
+    def _max_abs(r):
+        if isinstance(r, (tuple, list)):
+            r = max(abs(float(v)) for v in r)
+        return min(np.pi / 2, abs(float(r)))
+
+    rx, ry, rz = _max_abs(rot_x), _max_abs(rot_y), _max_abs(rot_z)
+    coords = np.asarray(final_patch_size, np.float64)
+    final = coords.copy()
+    if len(coords) == 3:
+        for axis, ang in ((0, rx), (1, ry), (2, rz)):
+            c, s = np.cos(ang), np.sin(ang)
+            m = np.eye(3)
+            other = [i for i in range(3) if i != axis]
+            m[other[0], other[0]] = c
+            m[other[0], other[1]] = s if axis == 1 else -s
+            m[other[1], other[0]] = -s if axis == 1 else s
+            m[other[1], other[1]] = c
+            final = np.maximum(final, _rotated_extent(coords, m))
+    elif len(coords) == 2:
+        c, s = np.cos(rx), np.sin(rx)
+        m = np.array([[c, -s], [s, c]])
+        final = np.maximum(final, _rotated_extent(coords, m))
+    final = final / min(scale_range)
+    return tuple(int(v) for v in final)
+
+
+def configure_spatial_da(patch_size,
+                         initial_scale_range=None) -> SpatialDAPlan:
+    """Rotation ranges, dummy-2D decision, initial patch size and mirror
+    axes from the patch geometry (reference ``nnUNetTrainer.py:375-431``):
+
+    * 2D: aspect ratio > 1.5 → rotation ±15°, else ±180°; mirror (0, 1).
+    * 3D: ``max(patch)/patch[0] > ANISO_THRESHOLD`` → dummy-2D DA (in-plane
+      ±180° only, out-of-plane axis untouched), else ±30° per axis;
+      mirror (0, 1, 2).
+    * initial patch = ``get_initial_patch_size(...)`` with the legacy
+      (0.85, 1.25) scale range unless overridden (DA5: (0.7, 1.43));
+      dummy-2D keeps the out-of-plane extent unchanged.
+    """
+    import numpy as np
+
+    patch_size = tuple(int(p) for p in patch_size)
+    dim = len(patch_size)
+    scale = tuple(initial_scale_range or (0.85, 1.25))
+    if dim == 2:
+        do_dummy = False
+        rot = np.pi / 12 if max(patch_size) / min(patch_size) > 1.5 else np.pi
+        rotation = (rot, 0.0, 0.0)
+        mirror_axes = (0, 1)
+    elif dim == 3:
+        do_dummy = (max(patch_size) / patch_size[0]) > ANISO_THRESHOLD
+        rotation = (np.pi, 0.0, 0.0) if do_dummy \
+            else (np.pi / 6, np.pi / 6, np.pi / 6)
+        mirror_axes = (0, 1, 2)
+    else:
+        raise ValueError(f"patch rank {dim}")
+    initial = get_initial_patch_size(patch_size[-dim:], *rotation, scale)
+    if do_dummy:
+        initial = (patch_size[0], *initial[1:])
+    return SpatialDAPlan(rotation_max=rotation, do_dummy_2d=do_dummy,
+                         initial_patch_size=initial, mirror_axes=mirror_axes)
+
+
+def center_crop_batch(data, seg, final_patch):
+    """Center-crop (B, *spatial, C) / (B, *spatial) to ``final_patch`` —
+    the reference SpatialTransform's random_crop=False output crop."""
+    nd = len(final_patch)
+    spatial = data.shape[1:1 + nd]
+    sl = [slice(None)]
+    for ax in range(nd):
+        off = (spatial[ax] - final_patch[ax]) // 2
+        assert off >= 0, (spatial, final_patch)
+        sl.append(slice(off, off + final_patch[ax]))
+    sl = tuple(sl)
+    return data[sl], seg[sl]
 
 
 def _affine_coords(h, w, angle, scale):
@@ -458,7 +578,7 @@ class HostSpatialAugmenter:
     are zeroed (``SegmentorTrainer`` does this automatically)."""
 
     def __init__(self, cfg: AugmentConfig, seed: int = 0, n_threads: int = 4,
-                 data_order: int = 1):
+                 data_order: int = 1, out_size=None):
         import numpy as np
 
         self.cfg = cfg
@@ -467,6 +587,16 @@ class HostSpatialAugmenter:
         # 0 = nearest data resampling (nnUNetTrainerDAOrd0's
         # order_resampling_data=0); 1 = bilinear (default)
         self.data_order = data_order
+        # when set, inputs are INITIAL-size patches (get_initial_patch_size)
+        # and every output is center-cropped to this final size — rotated
+        # patch corners then contain real image content, like the
+        # reference's enlarged-loader + SpatialTransform center crop
+        self.out_size = tuple(out_size) if out_size is not None else None
+
+    def _finish(self, data, seg):
+        if self.out_size is None:
+            return data, seg
+        return center_crop_batch(data, seg, self.out_size)
 
     def __call__(self, data, seg):
         import numpy as np
@@ -483,7 +613,7 @@ class HostSpatialAugmenter:
         sc = u[:, 1] < cfg.p_scaling
         apply = rot | sc
         if not apply.any():
-            return data, seg
+            return self._finish(data, seg)
         angles = np.where(rot, self.rng.uniform(-cfg.rotation_max,
                                                 cfg.rotation_max, B), 0.0)
         scales = np.where(sc, self.rng.uniform(cfg.scale_range[0],
@@ -497,7 +627,7 @@ class HostSpatialAugmenter:
             out = affine_augment_batch_numpy(data, seg16, angles, scales, apply,
                                              data_order=self.data_order)
         d, s = out
-        return d, s.astype(seg.dtype)
+        return self._finish(d, s.astype(seg.dtype))
 
 
 class HostSpatialAugmenter3D:
@@ -510,13 +640,24 @@ class HostSpatialAugmenter3D:
     are zeroed (``SegmentorTrainer`` does this automatically)."""
 
     def __init__(self, cfg: AugmentConfig, seed: int = 0, n_threads: int = 4,
-                 data_order: int = 1):
+                 data_order: int = 1, out_size=None, dummy_2d: bool = False):
         import numpy as np
 
         self.cfg = cfg
         self.rng = np.random.default_rng(seed)
         self.n_threads = n_threads
         self.data_order = data_order
+        self.out_size = tuple(out_size) if out_size is not None else None
+        # dummy-2D DA (reference nnUNetTrainer.py:401-408 +
+        # transforms_for_dummy_2d.py): anisotropic patches rotate/scale
+        # IN-PLANE only (±180°, every z-slice of a sample gets the same
+        # transform); the out-of-plane axis is never resampled
+        self.dummy_2d = dummy_2d
+
+    def _finish(self, data, seg):
+        if self.out_size is None:
+            return data, seg
+        return center_crop_batch(data, seg, self.out_size)
 
     def __call__(self, data, seg):
         import numpy as np
@@ -524,6 +665,8 @@ class HostSpatialAugmenter3D:
         from ldiffusion_tpu.native import (
             affine_augment_batch_3d_native,
             affine_augment_batch_3d_numpy,
+            affine_augment_batch_native,
+            affine_augment_batch_numpy,
         )
 
         cfg = self.cfg
@@ -533,15 +676,35 @@ class HostSpatialAugmenter3D:
         sc = u[:, 1] < cfg.p_scaling
         apply = rot | sc
         if not apply.any():
-            return data, seg
-        rmax = cfg.rotation_max_3d
-        ax = np.where(rot, self.rng.uniform(-rmax, rmax, B), 0.0)
-        ay = np.where(rot, self.rng.uniform(-rmax, rmax, B), 0.0)
-        az = np.where(rot, self.rng.uniform(-rmax, rmax, B), 0.0)
+            return self._finish(data, seg)
         scales = np.where(sc, self.rng.uniform(cfg.scale_range[0],
                                                cfg.scale_range[1], B), 1.0)
         data = np.ascontiguousarray(data, np.float32)
         seg16 = np.ascontiguousarray(seg, np.int16)
+
+        if self.dummy_2d:
+            # (B, Z, H, W, C) → (B·Z, H, W, C): the Convert3DTo2D /
+            # Convert2DTo3D trick, with per-SAMPLE draws repeated across z
+            Bz, Z, H, W, C = data.shape
+            angles = np.where(rot, self.rng.uniform(-np.pi, np.pi, B), 0.0)
+            d2 = np.ascontiguousarray(data.reshape(B * Z, H, W, C))
+            s2 = np.ascontiguousarray(seg16.reshape(B * Z, H, W))
+            rep = lambda a: np.repeat(a, Z)
+            out = affine_augment_batch_native(
+                d2, s2, rep(angles), rep(scales), rep(apply),
+                n_threads=self.n_threads, data_order=self.data_order)
+            if out is None:
+                out = affine_augment_batch_numpy(
+                    d2, s2, rep(angles), rep(scales), rep(apply),
+                    data_order=self.data_order)
+            d, s = out
+            return self._finish(d.reshape(B, Z, H, W, C),
+                                s.reshape(B, Z, H, W).astype(seg.dtype))
+
+        rmax = cfg.rotation_max_3d
+        ax = np.where(rot, self.rng.uniform(-rmax, rmax, B), 0.0)
+        ay = np.where(rot, self.rng.uniform(-rmax, rmax, B), 0.0)
+        az = np.where(rot, self.rng.uniform(-rmax, rmax, B), 0.0)
         out = affine_augment_batch_3d_native(
             data, seg16, ax, ay, az, scales, apply,
             n_threads=self.n_threads, data_order=self.data_order)
@@ -550,4 +713,4 @@ class HostSpatialAugmenter3D:
                 data, seg16, ax, ay, az, scales, apply,
                 data_order=self.data_order)
         d, s = out
-        return d, s.astype(seg.dtype)
+        return self._finish(d, s.astype(seg.dtype))

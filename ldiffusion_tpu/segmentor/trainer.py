@@ -106,20 +106,45 @@ class SegmentorTrainer:
         # stack keeps the cheap transforms. 3D volumes get the Euler-rotation
         # analog (closing the r2 "3D spatial DA omitted" deviation).
         self.host_spatial = None
+        # patch size the TRAIN sampler crops: enlarged for rotation/scale so
+        # the center crop after the spatial transform sees real content at
+        # the corners (reference configure_rotation_dummyDA_mirroring_and_
+        # inital_patch_size, nnUNetTrainer.py:375-431 + get_plain_dataloaders
+        # loading initial_patch_size); equals plan.patch_size when spatial DA
+        # is off (the NoDA variant's get_plain_dataloaders override)
+        self.train_patch_size = tuple(plan.patch_size)
         if self.augment_cfg.p_rotation > 0 or self.augment_cfg.p_scaling > 0:
             import dataclasses as _dc
 
             from ldiffusion_tpu.data.augment import (
                 HostSpatialAugmenter,
                 HostSpatialAugmenter3D,
+                configure_spatial_da,
             )
 
-            cls = HostSpatialAugmenter if len(plan.patch_size) == 2 \
-                else HostSpatialAugmenter3D
-            self.host_spatial = cls(
-                self.augment_cfg, seed=config.seed + 17,
-                data_order=0 if getattr(variant, "spatial_order0_data", False)
-                else 1)
+            spatial = configure_spatial_da(
+                plan.patch_size, self.augment_cfg.initial_scale_range)
+            self.train_patch_size = spatial.initial_patch_size
+            if len(plan.patch_size) == 2:
+                # aspect-dependent 2D rotation: ±15° for elongated patches,
+                # ±180° otherwise (reference :382-396)
+                self.augment_cfg = _dc.replace(
+                    self.augment_cfg, rotation_max=spatial.rotation_max[0])
+                self.host_spatial = HostSpatialAugmenter(
+                    self.augment_cfg, seed=config.seed + 17,
+                    data_order=0 if getattr(variant, "spatial_order0_data",
+                                            False) else 1,
+                    out_size=plan.patch_size)
+            else:
+                if not spatial.do_dummy_2d:
+                    self.augment_cfg = _dc.replace(
+                        self.augment_cfg,
+                        rotation_max_3d=spatial.rotation_max[0])
+                self.host_spatial = HostSpatialAugmenter3D(
+                    self.augment_cfg, seed=config.seed + 17,
+                    data_order=0 if getattr(variant, "spatial_order0_data",
+                                            False) else 1,
+                    out_size=plan.patch_size, dummy_2d=spatial.do_dummy_2d)
             self.augment_cfg = _dc.replace(self.augment_cfg,
                                            p_rotation=0.0, p_scaling=0.0)
         self.log = TextLogger(os.path.join(output_dir, "training_log.txt"))
@@ -423,10 +448,11 @@ class SegmentorTrainer:
             val_iter = iter(lambda: (dummy_data, dummy_seg), None)
         else:
             base_iter = iter(PatchSampler(
-                train_ds, self.plan.patch_size, self.plan.batch_size,
+                train_ds, self.train_patch_size, self.plan.batch_size,
                 oversample, seed=cfg.seed,
                 probabilistic_oversampling=probabilistic))
             if self.host_spatial is not None:
+                # spatial transform + center crop back to plan.patch_size
                 base_iter = (self.host_spatial(d, s) for d, s in base_iter)
             train_iter = Prefetcher(base_iter)
             val_iter = Prefetcher(iter(PatchSampler(

@@ -69,6 +69,10 @@ _NO_DA = AugmentConfig(p_rotation=0, p_scaling=0, p_noise=0, p_blur=0,
 # (0.7, 1.5) BOTH inverted p 0.1 each, mirror, blank rectangles p 0.4,
 # brightness-gradient-additive p 0.3, local gamma p 0.3, sharpening p 0.2.
 _DA5 = AugmentConfig(p_rotation=0.4, p_scaling=0.2, scale_range=(0.7, 1.43),
+                     # DA5 feeds its TRUE scale range into the initial-patch
+                     # formula (nnUNetTrainerDA5.py:82-84), unlike the base
+                     # trainer's legacy (0.85, 1.25)
+                     initial_scale_range=(0.7, 1.43),
                      p_rot90=0.5, p_transpose=0.5,
                      p_median=0.2, p_noise=0.1,
                      p_blur=0.2, blur_sigma=(0.3, 1.5),
