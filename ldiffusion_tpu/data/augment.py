@@ -620,14 +620,18 @@ class HostSpatialAugmenter:
                                                cfg.scale_range[1], B), 1.0)
         data = np.ascontiguousarray(data, np.float32)
         seg16 = np.ascontiguousarray(seg, np.int16)
+        # out_size goes into the kernel: only the centered crop window is
+        # interpolated (identical values to transform-then-crop)
         out = affine_augment_batch_native(data, seg16, angles, scales, apply,
                                           n_threads=self.n_threads,
-                                          data_order=self.data_order)
+                                          data_order=self.data_order,
+                                          out_size=self.out_size)
         if out is None:
             out = affine_augment_batch_numpy(data, seg16, angles, scales, apply,
-                                             data_order=self.data_order)
+                                             data_order=self.data_order,
+                                             out_size=self.out_size)
         d, s = out
-        return self._finish(d, s.astype(seg.dtype))
+        return d, s.astype(seg.dtype)
 
 
 class HostSpatialAugmenter3D:
@@ -684,22 +688,31 @@ class HostSpatialAugmenter3D:
 
         if self.dummy_2d:
             # (B, Z, H, W, C) → (B·Z, H, W, C): the Convert3DTo2D /
-            # Convert2DTo3D trick, with per-SAMPLE draws repeated across z
+            # Convert2DTo3D trick, with per-SAMPLE draws repeated across z.
+            # In-plane out_size goes into the 2D kernel (only the crop
+            # window is interpolated); z is cropped after reshape (it is a
+            # no-op for configure_spatial_da's plans, which never enlarge z).
             Bz, Z, H, W, C = data.shape
+            out2d = None if self.out_size is None else self.out_size[1:]
+            OH, OW = (H, W) if out2d is None else out2d
             angles = np.where(rot, self.rng.uniform(-np.pi, np.pi, B), 0.0)
             d2 = np.ascontiguousarray(data.reshape(B * Z, H, W, C))
             s2 = np.ascontiguousarray(seg16.reshape(B * Z, H, W))
             rep = lambda a: np.repeat(a, Z)
             out = affine_augment_batch_native(
                 d2, s2, rep(angles), rep(scales), rep(apply),
-                n_threads=self.n_threads, data_order=self.data_order)
+                n_threads=self.n_threads, data_order=self.data_order,
+                out_size=out2d)
             if out is None:
                 out = affine_augment_batch_numpy(
                     d2, s2, rep(angles), rep(scales), rep(apply),
-                    data_order=self.data_order)
+                    data_order=self.data_order, out_size=out2d)
             d, s = out
-            return self._finish(d.reshape(B, Z, H, W, C),
-                                s.reshape(B, Z, H, W).astype(seg.dtype))
+            d = d.reshape(B, Z, OH, OW, C)
+            s = s.reshape(B, Z, OH, OW).astype(seg.dtype)
+            if self.out_size is not None and Z != self.out_size[0]:
+                d, s = center_crop_batch(d, s, self.out_size)
+            return d, s
 
         rmax = cfg.rotation_max_3d
         ax = np.where(rot, self.rng.uniform(-rmax, rmax, B), 0.0)
@@ -707,10 +720,11 @@ class HostSpatialAugmenter3D:
         az = np.where(rot, self.rng.uniform(-rmax, rmax, B), 0.0)
         out = affine_augment_batch_3d_native(
             data, seg16, ax, ay, az, scales, apply,
-            n_threads=self.n_threads, data_order=self.data_order)
+            n_threads=self.n_threads, data_order=self.data_order,
+            out_size=self.out_size)
         if out is None:
             out = affine_augment_batch_3d_numpy(
                 data, seg16, ax, ay, az, scales, apply,
-                data_order=self.data_order)
+                data_order=self.data_order, out_size=self.out_size)
         d, s = out
-        return self._finish(d, s.astype(seg.dtype))
+        return d, s.astype(seg.dtype)

@@ -95,6 +95,58 @@ class NibabelIO(BaseReaderWriter):
                                              affine), path)
 
 
+class NibabelIOWithReorient(BaseReaderWriter):
+    """NIfTI via nibabel with reorientation to RAS on read and inverse
+    reorientation on write (gated; reference
+    ``nibabel_reader_writer.py:100-184``): images are loaded
+    ``as_reoriented(io_orientation(original_affine))``, transposed to the
+    sitk (z, y, x) axis order, spacing reversed; ``write_seg`` builds the
+    seg on the reoriented affine, reorients back to the ORIGINAL affine and
+    asserts the round trip restored it."""
+
+    supported_endings = (".nii", ".nii.gz")
+
+    def __init__(self):
+        import nibabel  # noqa: F401  (raises if unavailable)
+
+        self._nib = nibabel
+
+    def read_images(self, paths):
+        from nibabel.orientations import io_orientation
+
+        arrays, original_affine, reoriented_affine, spacing = [], None, None, None
+        for p in paths:
+            img = self._nib.load(p)
+            reoriented = img.as_reoriented(io_orientation(img.affine))
+            if original_affine is None:
+                original_affine = img.affine
+                reoriented_affine = reoriented.affine
+                spacing = [float(z) for z in reoriented.header.get_zooms()[::-1]]
+            arrays.append(reoriented.get_fdata().transpose(2, 1, 0))
+        return (np.stack(arrays).astype(np.float32),
+                {"spacing": spacing,
+                 "nibabel_stuff": {
+                     "original_affine": original_affine.tolist(),
+                     "reoriented_affine": reoriented_affine.tolist()}})
+
+    def read_seg(self, path):
+        return self.read_images([path])
+
+    def write_seg(self, seg, path, properties=None):
+        from nibabel.orientations import io_orientation
+
+        assert properties and "nibabel_stuff" in properties, \
+            "NibabelIOWithReorient.write_seg needs the read-side affines"
+        original = np.asarray(properties["nibabel_stuff"]["original_affine"])
+        reoriented = np.asarray(properties["nibabel_stuff"]["reoriented_affine"])
+        seg_img = self._nib.Nifti1Image(
+            np.squeeze(seg).transpose(2, 1, 0).astype(np.uint8), reoriented)
+        restored = seg_img.as_reoriented(io_orientation(original))
+        assert np.allclose(original, restored.affine), \
+            "restored affine does not match original affine"
+        self._nib.save(restored, path)
+
+
 class SimpleITKIO(BaseReaderWriter):
     """Any-format volumes via SimpleITK (gated; reference
     ``imageio/simpleitk_reader_writer.py``): arrays come back (c, Z, H, W)
@@ -224,7 +276,8 @@ class NumpyIO(BaseReaderWriter):
 # order matters: 2D natural images claim .tif first (reference registry
 # priority, ``reader_writer_registry.py``); Tiff3DIO is selected explicitly
 # via dataset_json ``overwrite_image_reader_writer`` for 3D stacks
-_REGISTRY = [NaturalImage2DIO, NibabelIO, SimpleITKIO, Tiff3DIO, NumpyIO]
+_REGISTRY = [NaturalImage2DIO, NibabelIO, NibabelIOWithReorient, SimpleITKIO,
+             Tiff3DIO, NumpyIO]
 
 _BY_NAME = {cls.__name__: cls for cls in _REGISTRY}
 

@@ -255,6 +255,11 @@ def create_mnms_custom_splits(src_data_folder: str, csv_file: str,
         patients = list(patients)
         rng.shuffle(patients)
         n_train = len(patients) - num_val_patients
+        if n_train <= 0:
+            raise ValueError(
+                f"vendor has {len(patients)} labeled patients but "
+                f"num_val_patients={num_val_patients} — no training patients "
+                f"would remain; pass a smaller num_val_patients")
         return patients[:n_train], patients[n_train:]
 
     def _frames(patients: Sequence[str]) -> List[str]:
@@ -401,10 +406,8 @@ def convert_road_segmentation(source: str, dataset_id: int = 120,
     from PIL import Image
 
     task = "RoadSegmentation"
-    out_dir = os.path.join(_raw_root(raw_root),
-                           f"Dataset{int(dataset_id):03d}_{task}")
-    for sub in ("imagesTr", "labelsTr", "imagesTs", "labelsTs"):
-        os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+    out_dir, _, _, _ = make_out_dirs(dataset_id, task, raw_root,
+                                     with_labels_ts=True)
 
     def _convert(split_src: str, img_sub: str, lbl_sub: str) -> int:
         out_imgs = os.path.join(out_dir, img_sub)
@@ -602,7 +605,7 @@ def convert_amos(amos_base_dir: str, task: int, dataset_id: Optional[int] = None
         dataset_name=task_name,
         reference="https://amos22.grand-challenge.org/",
         release="https://zenodo.org/record/7262581",
-        overwrite_image_reader_writer="NibabelIO",
+        overwrite_image_reader_writer="NibabelIOWithReorient",
         description="AMOS post-challenge release; validation cases folded "
                     "into training (5-fold CV beats a fixed split).")
     return out_dir
@@ -639,7 +642,8 @@ def convert_kits2023(kits_base_dir: str, dataset_id: int = 220,
         regions_class_order=(1, 3, 2),
         num_training_cases=len(cases), file_ending=".nii.gz",
         dataset_name=task_name, reference="none", release="prerelease",
-        overwrite_image_reader_writer="NibabelIO", description="KiTS2023")
+        overwrite_image_reader_writer="NibabelIOWithReorient",
+        description="KiTS2023")
     return out_dir
 
 
@@ -731,6 +735,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     mn.add_argument("-s", "--custom_splits_file", default=None,
                     help="append vendor splits to this splits_final.json "
                          "instead of converting")
+    mn.add_argument("--num_val_patients", type=int, default=25,
+                    help="held-out patients per vendor for the custom splits")
     fl = sub.add_parser("fluo_c3dh")
     _common(fl, 73)
     fl.add_argument("-t", "--test_dir", default=None)
@@ -763,7 +769,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     elif a.cmd == "mnms":
         if a.custom_splits_file:
             create_mnms_custom_splits(a.input_folder, a.csv_file_name,
-                                      a.custom_splits_file)
+                                      a.custom_splits_file,
+                                      num_val_patients=a.num_val_patients)
             out = a.custom_splits_file
         else:
             out = convert_mnms(a.input_folder, a.csv_file_name, a.dataset_id,

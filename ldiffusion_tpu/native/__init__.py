@@ -133,6 +133,7 @@ def _bind_affine(lib):
         ctypes.POINTER(ctypes.c_void_p),   # datas
         ctypes.POINTER(ctypes.c_void_p),   # segs
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64,    # OH, OW (center-crop output)
         ctypes.POINTER(ctypes.c_double),   # angles
         ctypes.POINTER(ctypes.c_double),   # scales
         ctypes.POINTER(ctypes.c_uint8),    # apply flags
@@ -148,12 +149,16 @@ def _bind_affine(lib):
 def affine_augment_batch_native(data: np.ndarray, seg: np.ndarray,
                                 angles: np.ndarray, scales: np.ndarray,
                                 apply: np.ndarray, n_threads: int = 4,
-                                data_order: int = 1):
+                                data_order: int = 1, out_size=None):
     """Host-side rotation+scale (the batchgenerators SpatialTransform analog;
     reference ``nnUNetTrainer.py:673-795`` runs it in CPU workers). Math
     matches ``data/augment.py:_affine_coords``: inverse map about the patch
     center, bilinear/zero-border data (nearest when ``data_order=0`` — the
     nnUNetTrainerDAOrd0 variant), nearest/zero-border seg.
+
+    ``out_size=(OH, OW)`` computes only the centered OH×OW window of the
+    output grid (== transform-then-center-crop, without interpolating the
+    discarded border — the initial-patch-enlargement path).
 
     data: (B, H, W, C) float32 contiguous; seg: (B, H, W) int16 contiguous.
     Returns transformed copies, or None when the library is unavailable.
@@ -163,6 +168,8 @@ def affine_augment_batch_native(data: np.ndarray, seg: np.ndarray,
         return None
     _bind_affine(lib)
     B, H, W, C = data.shape
+    OH, OW = (H, W) if out_size is None else map(int, out_size)
+    assert 0 < OH <= H and 0 < OW <= W, (out_size, data.shape)
     assert data.dtype == np.float32 and data.flags.c_contiguous
     assert seg.dtype == np.int16 and seg.flags.c_contiguous
     data_ptrs = (ctypes.c_void_p * B)(*[
@@ -172,10 +179,10 @@ def affine_augment_batch_native(data: np.ndarray, seg: np.ndarray,
     angles = np.ascontiguousarray(angles, np.float64)
     scales = np.ascontiguousarray(scales, np.float64)
     apply = np.ascontiguousarray(apply, np.uint8)
-    out_data = np.empty_like(data)
-    out_seg = np.empty_like(seg)
+    out_data = np.empty((B, OH, OW, C), data.dtype)
+    out_seg = np.empty((B, OH, OW), seg.dtype)
     lib.affine_augment_batch(
-        data_ptrs, seg_ptrs, B, H, W, C,
+        data_ptrs, seg_ptrs, B, H, W, C, OH, OW,
         angles.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         scales.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         apply.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -188,14 +195,16 @@ def affine_augment_batch_native(data: np.ndarray, seg: np.ndarray,
 
 
 def affine_augment_batch_numpy(data, seg, angles, scales, apply,
-                               data_order: int = 1):
+                               data_order: int = 1, out_size=None):
     """Pure-numpy fallback implementing the same math (vectorized)."""
     B, H, W, C = data.shape
-    out_d = data.copy()
-    out_s = seg.copy()
+    OH, OW = (H, W) if out_size is None else map(int, out_size)
+    offy, offx = (H - OH) // 2, (W - OW) // 2
+    out_d = data[:, offy:offy + OH, offx:offx + OW].copy()
+    out_s = seg[:, offy:offy + OH, offx:offx + OW].copy()
     cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
-    yy, xx = np.mgrid[:H, :W].astype(np.float64)
-    y, x = yy - cy, xx - cx
+    yy, xx = np.mgrid[:OH, :OW].astype(np.float64)
+    y, x = yy + offy - cy, xx + offx - cx
     for b in range(B):
         if not apply[b]:
             continue
@@ -214,7 +223,7 @@ def affine_augment_batch_numpy(data, seg, angles, scales, apply,
             y0 = np.floor(sy).astype(np.int64)
             x0 = np.floor(sx).astype(np.int64)
             fy, fx = sy - y0, sx - x0
-            acc = np.zeros((H, W, C), np.float64)
+            acc = np.zeros((OH, OW, C), np.float64)
             for dy, dx, w in ((0, 0, (1 - fy) * (1 - fx)), (0, 1, (1 - fy) * fx),
                               (1, 0, fy * (1 - fx)), (1, 1, fy * fx)):
                 yi, xi = y0 + dy, x0 + dx
@@ -236,6 +245,7 @@ def _bind_affine_3d(lib):
         ctypes.POINTER(ctypes.c_void_p),   # segs
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64,                    # B, D, H, W, C
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # OD, OH, OW
         ctypes.POINTER(ctypes.c_double),   # angles_x
         ctypes.POINTER(ctypes.c_double),   # angles_y
         ctypes.POINTER(ctypes.c_double),   # angles_z
@@ -253,11 +263,14 @@ def _bind_affine_3d(lib):
 def affine_augment_batch_3d_native(data: np.ndarray, seg: np.ndarray,
                                    angles_x, angles_y, angles_z, scales,
                                    apply, n_threads: int = 4,
-                                   data_order: int = 1):
+                                   data_order: int = 1, out_size=None):
     """Host-side 3D rotation(Euler Rx·Ry·Rz)+scale — the batchgenerators 3D
     SpatialTransform analog (reference ``nnUNetTrainer.py:673-795`` runs it
     in CPU workers). Trilinear/zero-border data, nearest/zero-border seg
     (RemoveLabelTransform(-1,0): outside trains as background).
+
+    ``out_size=(OD, OH, OW)`` computes only the centered window of the
+    output grid (transform-then-center-crop without the discarded border).
 
     data: (B, D, H, W, C) float32 contiguous; seg: (B, D, H, W) int16.
     Returns transformed copies, or None when the library is unavailable.
@@ -267,6 +280,8 @@ def affine_augment_batch_3d_native(data: np.ndarray, seg: np.ndarray,
         return None
     _bind_affine_3d(lib)
     B, D, H, W, C = data.shape
+    OD, OH, OW = (D, H, W) if out_size is None else map(int, out_size)
+    assert 0 < OD <= D and 0 < OH <= H and 0 < OW <= W, (out_size, data.shape)
     assert data.dtype == np.float32 and data.flags.c_contiguous
     assert seg.dtype == np.int16 and seg.flags.c_contiguous
     img_bytes = D * H * W * C * 4
@@ -280,10 +295,10 @@ def affine_augment_batch_3d_native(data: np.ndarray, seg: np.ndarray,
     az = np.ascontiguousarray(angles_z, np.float64)
     sc = np.ascontiguousarray(scales, np.float64)
     ap = np.ascontiguousarray(apply, np.uint8)
-    out_data = np.empty_like(data)
-    out_seg = np.empty_like(seg)
+    out_data = np.empty((B, OD, OH, OW, C), data.dtype)
+    out_seg = np.empty((B, OD, OH, OW), seg.dtype)
     lib.affine_augment_batch_3d(
-        data_ptrs, seg_ptrs, B, D, H, W, C,
+        data_ptrs, seg_ptrs, B, D, H, W, C, OD, OH, OW,
         ax.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         ay.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         az.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
@@ -297,14 +312,17 @@ def affine_augment_batch_3d_native(data: np.ndarray, seg: np.ndarray,
 
 
 def affine_augment_batch_3d_numpy(data, seg, angles_x, angles_y, angles_z,
-                                  scales, apply, data_order: int = 1):
+                                  scales, apply, data_order: int = 1,
+                                  out_size=None):
     """Pure-numpy fallback with identical math (vectorized per volume)."""
     B, D, H, W, C = data.shape
-    out_d = data.copy()
-    out_s = seg.copy()
+    OD, OH, OW = (D, H, W) if out_size is None else map(int, out_size)
+    offz, offy, offx = (D - OD) // 2, (H - OH) // 2, (W - OW) // 2
+    out_d = data[:, offz:offz + OD, offy:offy + OH, offx:offx + OW].copy()
+    out_s = seg[:, offz:offz + OD, offy:offy + OH, offx:offx + OW].copy()
     cz, cy, cx = (D - 1) / 2.0, (H - 1) / 2.0, (W - 1) / 2.0
-    zz, yy, xx = np.mgrid[:D, :H, :W].astype(np.float64)
-    z, y, x = zz - cz, yy - cy, xx - cx
+    zz, yy, xx = np.mgrid[:OD, :OH, :OW].astype(np.float64)
+    z, y, x = zz + offz - cz, yy + offy - cy, xx + offx - cx
     for b in range(B):
         if not apply[b]:
             continue
@@ -337,7 +355,7 @@ def affine_augment_batch_3d_numpy(data, seg, angles_x, angles_y, angles_z,
             y0 = np.floor(sy).astype(np.int64)
             x0 = np.floor(sx).astype(np.int64)
             fz, fy, fx = sz - z0, sy - y0, sx - x0
-            acc = np.zeros((D, H, W, C), np.float64)
+            acc = np.zeros((OD, OH, OW, C), np.float64)
             for dz in (0, 1):
                 wz = fz if dz else 1.0 - fz
                 zi = z0 + dz

@@ -148,14 +148,21 @@ extern "C" {
 
 // data_order: 1 = bilinear (default), 0 = nearest (the nnUNetTrainerDAOrd0
 // variant's order_resampling_data=0).
+// OH/OW: output (center-crop) size, <= H/W. The transform is still taken
+// about the INPUT patch center; only the centered OHxOW window of the
+// virtual HxW output grid is computed — the initial-patch enlargement
+// (data/augment.py:configure_spatial_da) otherwise interpolates 1.4-4x
+// more pixels than the model consumes.
 void affine_augment_batch(const float** datas, const int16_t** segs,
                           int64_t B, int64_t H, int64_t W, int64_t C,
+                          int64_t OH, int64_t OW,
                           const double* angles, const double* scales,
                           const uint8_t* apply,
                           float* out_data, int16_t* out_seg,
                           int64_t n_threads, int64_t data_order) {
-    const int64_t img_elems = H * W * C;
-    const int64_t seg_elems = H * W;
+    const int64_t img_elems = OH * OW * C;
+    const int64_t seg_elems = OH * OW;
+    const int64_t offy = (H - OH) / 2, offx = (W - OW) / 2;
 
     auto work = [&](int64_t b0, int64_t b1) {
         for (int64_t b = b0; b < b1; ++b) {
@@ -164,20 +171,27 @@ void affine_augment_batch(const float** datas, const int16_t** segs,
             float* dout = out_data + b * img_elems;
             int16_t* sout = out_seg + b * seg_elems;
             if (!apply[b]) {
-                std::memcpy(dout, din, sizeof(float) * img_elems);
-                std::memcpy(sout, sin_, sizeof(int16_t) * seg_elems);
+                // identity transform -> plain center crop
+                for (int64_t i = 0; i < OH; ++i) {
+                    std::memcpy(dout + i * OW * C,
+                                din + ((i + offy) * W + offx) * C,
+                                sizeof(float) * OW * C);
+                    std::memcpy(sout + i * OW,
+                                sin_ + (i + offy) * W + offx,
+                                sizeof(int16_t) * OW);
+                }
                 continue;
             }
             const double cy = (H - 1) / 2.0, cx = (W - 1) / 2.0;
             const double cosv = std::cos(angles[b]), sinv = std::sin(angles[b]);
             const double inv_s = 1.0 / scales[b];
-            for (int64_t i = 0; i < H; ++i) {
-                const double y = i - cy;
-                for (int64_t j = 0; j < W; ++j) {
-                    const double x = j - cx;
+            for (int64_t i = 0; i < OH; ++i) {
+                const double y = i + offy - cy;
+                for (int64_t j = 0; j < OW; ++j) {
+                    const double x = j + offx - cx;
                     const double sy = (cosv * y + sinv * x) * inv_s + cy;
                     const double sx = (-sinv * y + cosv * x) * inv_s + cx;
-                    float* po = dout + (i * W + j) * C;
+                    float* po = dout + (i * OW + j) * C;
                     const int64_t ry = (int64_t)std::llround(sy);
                     const int64_t rx = (int64_t)std::llround(sx);
                     if (data_order == 0) {
@@ -210,7 +224,7 @@ void affine_augment_batch(const float** datas, const int16_t** segs,
                         }
                     }
                     // nearest for labels, zero outside
-                    sout[i * W + j] =
+                    sout[i * OW + j] =
                         (ry >= 0 && ry < H && rx >= 0 && rx < W)
                             ? sin_[ry * W + rx] : (int16_t)0;
                 }
@@ -243,16 +257,20 @@ void affine_augment_batch(const float** datas, const int16_t** segs,
 
 extern "C" {
 
+// OD/OH/OW: output (center-crop) size, <= D/H/W — see the 2D comment.
 void affine_augment_batch_3d(const float** datas, const int16_t** segs,
                              int64_t B, int64_t D, int64_t H, int64_t W,
                              int64_t C,
+                             int64_t OD, int64_t OH, int64_t OW,
                              const double* angles_x, const double* angles_y,
                              const double* angles_z, const double* scales,
                              const uint8_t* apply,
                              float* out_data, int16_t* out_seg,
                              int64_t n_threads, int64_t data_order) {
-    const int64_t img_elems = D * H * W * C;
-    const int64_t seg_elems = D * H * W;
+    const int64_t img_elems = OD * OH * OW * C;
+    const int64_t seg_elems = OD * OH * OW;
+    const int64_t offz = (D - OD) / 2, offy = (H - OH) / 2,
+                  offx = (W - OW) / 2;
 
     auto work = [&](int64_t b0, int64_t b1) {
         for (int64_t b = b0; b < b1; ++b) {
@@ -261,8 +279,16 @@ void affine_augment_batch_3d(const float** datas, const int16_t** segs,
             float* dout = out_data + b * img_elems;
             int16_t* sout = out_seg + b * seg_elems;
             if (!apply[b]) {
-                std::memcpy(dout, din, sizeof(float) * img_elems);
-                std::memcpy(sout, sin_, sizeof(int16_t) * seg_elems);
+                // identity transform -> plain center crop
+                for (int64_t k = 0; k < OD; ++k)
+                    for (int64_t i = 0; i < OH; ++i) {
+                        const int64_t src =
+                            ((k + offz) * H + (i + offy)) * W + offx;
+                        std::memcpy(dout + ((k * OH + i) * OW) * C,
+                                    din + src * C, sizeof(float) * OW * C);
+                        std::memcpy(sout + (k * OH + i) * OW,
+                                    sin_ + src, sizeof(int16_t) * OW);
+                    }
                 continue;
             }
             const double cz = (D - 1) / 2.0, cy = (H - 1) / 2.0,
@@ -280,18 +306,18 @@ void affine_augment_batch_3d(const float** datas, const int16_t** segs,
             const double r21 = sxr * czr + cxr * syr * szr;
             const double r22 = cxr * cyr;
             const double inv_s = 1.0 / scales[b];
-            for (int64_t k = 0; k < D; ++k) {
-                const double z = k - cz;
-                for (int64_t i = 0; i < H; ++i) {
-                    const double y = i - cy;
-                    for (int64_t j = 0; j < W; ++j) {
-                        const double x = j - cx;
+            for (int64_t k = 0; k < OD; ++k) {
+                const double z = k + offz - cz;
+                for (int64_t i = 0; i < OH; ++i) {
+                    const double y = i + offy - cy;
+                    for (int64_t j = 0; j < OW; ++j) {
+                        const double x = j + offx - cx;
                         // inverse rotation = transpose (axes order z,y,x map
                         // to matrix rows 0,1,2)
                         const double sz = (r00 * z + r10 * y + r20 * x) * inv_s + cz;
                         const double sy = (r01 * z + r11 * y + r21 * x) * inv_s + cy;
                         const double sx = (r02 * z + r12 * y + r22 * x) * inv_s + cx;
-                        float* po = dout + ((k * H + i) * W + j) * C;
+                        float* po = dout + ((k * OH + i) * OW + j) * C;
                         const int64_t rz = (int64_t)std::llround(sz);
                         const int64_t ry = (int64_t)std::llround(sy);
                         const int64_t rx = (int64_t)std::llround(sx);
@@ -327,7 +353,7 @@ void affine_augment_batch_3d(const float** datas, const int16_t** segs,
                                 po[c] = (float)acc;
                             }
                         }
-                        sout[(k * H + i) * W + j] =
+                        sout[(k * OH + i) * OW + j] =
                             rin ? sin_[(rz * H + ry) * W + rx] : (int16_t)0;
                     }
                 }

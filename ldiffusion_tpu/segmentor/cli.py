@@ -61,12 +61,31 @@ def _require(value: Optional[str], flag: str, env: str) -> str:
     return value
 
 
+def _load_png_channels(paths):
+    """[0,1] float (H, W, C) from a case's channel files. A single file keeps
+    the historical convert-to-RGB semantics (3 channels); multiple ``_NNNN``
+    channel files concatenate their NATIVE channels in filename order, like
+    NaturalImage2DIO's per-file vstack (reference
+    ``natural_image_reader_writer.py:22-45``)."""
+    from PIL import Image
+
+    if len(paths) == 1:
+        return np.asarray(Image.open(paths[0]).convert("RGB"),
+                          np.float32) / 255.0
+    chans = []
+    for p in paths:
+        arr = np.asarray(Image.open(p), np.float32) / 255.0
+        chans.append(arr[..., None] if arr.ndim == 2 else arr)
+    return np.concatenate(chans, axis=-1)
+
+
 def load_png_cases(ds_dir: str, split: str = "Tr"):
     """(case_ids, images [0,1] float (H,W,C), labels int32 (H,W)) from an
     imagesTr/labelsTr pair (NaturalImage2DIO value semantics —
-    ``data/io.py``). For the Tr split a ``"dataset"`` file-list in
-    dataset.json takes precedence over the folder scan (reference
-    ``utilities/utils.py:51-66``, the Dataset988-style indirection)."""
+    ``data/io.py``). Channel files ``<case>_NNNN.png`` group per case. For
+    the Tr split a ``"dataset"`` file-list in dataset.json takes precedence
+    over the folder scan (reference ``utilities/utils.py:51-66``, the
+    Dataset988-style indirection)."""
     from PIL import Image
 
     if split == "Tr":
@@ -80,9 +99,7 @@ def load_png_cases(ds_dir: str, split: str = "Tr"):
                 ids, images, labels = [], [], []
                 for case, entry in sorted(
                         get_train_images_and_targets(ds_dir, dj).items()):
-                    img = np.asarray(
-                        Image.open(entry["images"][0]).convert("RGB"),
-                        np.float32) / 255.0
+                    img = _load_png_channels(entry["images"])
                     lbl = (np.asarray(Image.open(entry["label"]),
                                       np.uint8).astype(np.int32)
                            if os.path.exists(entry["label"]) else None)
@@ -96,12 +113,8 @@ def load_png_cases(ds_dir: str, split: str = "Tr"):
     ids, images, labels = [], [], []
     if not os.path.isdir(img_dir):
         return ids, images, labels
-    for fn in sorted(os.listdir(img_dir)):
-        if not fn.lower().endswith(".png"):
-            continue
-        case = fn[:-9] if fn.endswith("_0000.png") else fn[:-4]
-        img = np.asarray(Image.open(os.path.join(img_dir, fn)).convert("RGB"),
-                         np.float32) / 255.0
+    for case, files in sorted(_group_channel_files(img_dir, ".png").items()):
+        img = _load_png_channels([os.path.join(img_dir, f) for f in files])
         lbl_path = os.path.join(lbl_dir, f"{case}.png")
         lbl = np.asarray(Image.open(lbl_path), np.uint8).astype(np.int32) \
             if os.path.exists(lbl_path) else None

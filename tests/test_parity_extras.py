@@ -169,11 +169,12 @@ def test_model_download_bad_zip_cleans_temp(tmp_path):
 
     import pytest
 
+    before = set(os.listdir(os.path.expanduser("~")))
     with pytest.raises(zipfile.BadZipFile):
         download_and_install_from_url("file://" + os.path.abspath(bad),
                                       str(tmp_path / "installed"))
     leftovers = [f for f in os.listdir(os.path.expanduser("~"))
-                 if f.startswith(".lddownload_")]
+                 if f.startswith(".lddownload_") and f not in before]
     assert not leftovers
 
 

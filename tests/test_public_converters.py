@@ -429,3 +429,72 @@ def test_public_converters_cli_smoke(tmp_path, capsys):
     pc.main(["kits2023", "-i", str(src), "--raw_root", str(tmp_path / "raw")])
     assert "done:" in capsys.readouterr().out
     assert os.path.isdir(tmp_path / "raw" / "Dataset220_KiTS2023")
+
+
+def test_load_png_cases_groups_channel_files(tmp_path):
+    """Multi-channel PNG cases (<case>_0000/_0001) stack their native
+    channels in both the scan and the file-list routes (reference
+    NaturalImage2DIO vstack + create_lists_from_splitted_dataset_folder)."""
+    from PIL import Image
+
+    from ldiffusion_tpu.segmentor.cli import load_png_cases
+
+    src = tmp_path / "Dataset903_TwoChan"
+    os.makedirs(src / "imagesTr")
+    os.makedirs(src / "labelsTr")
+    rng = np.random.default_rng(7)
+    ch0 = rng.integers(0, 255, (8, 8), dtype=np.uint8)
+    ch1 = rng.integers(0, 255, (8, 8), dtype=np.uint8)
+    Image.fromarray(ch0).save(src / "imagesTr" / "a_0000.png")
+    Image.fromarray(ch1).save(src / "imagesTr" / "a_0001.png")
+    Image.fromarray(np.zeros((8, 8), np.uint8)).save(src / "labelsTr" / "a.png")
+    json.dump({"channel_names": {"0": "c0", "1": "c1"},
+               "labels": {"background": 0}, "numTraining": 1,
+               "file_ending": ".png"}, open(src / "dataset.json", "w"))
+
+    ids, images, labels = load_png_cases(str(src), "Tr")
+    assert ids == ["a"]                      # ONE case, not two
+    assert images[0].shape == (8, 8, 2)      # both channels stacked
+    np.testing.assert_allclose(images[0][..., 0], ch0 / 255.0, atol=1e-6)
+    np.testing.assert_allclose(images[0][..., 1], ch1 / 255.0, atol=1e-6)
+
+    # file-list indirection returns the same stacking
+    target = str(tmp_path / "Dataset904_Filelist")
+    create_filelist_dataset(str(src), target)
+    ids2, images2, _ = load_png_cases(target, "Tr")
+    assert ids2 == ["a"]
+    np.testing.assert_array_equal(images2[0], images[0])
+
+
+def test_nibabel_reorient_registered_and_selected(tmp_path):
+    """NibabelIOWithReorient resolves via overwrite_image_reader_writer
+    (instantiation raises cleanly when nibabel is missing); round-trip is
+    exercised when nibabel exists."""
+    from ldiffusion_tpu.data.io import (
+        _BY_NAME,
+        determine_reader_writer_from_dataset_json,
+    )
+
+    assert "NibabelIOWithReorient" in _BY_NAME
+    dj = {"overwrite_image_reader_writer": "NibabelIOWithReorient",
+          "file_ending": ".nii.gz"}
+    try:
+        import nibabel  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError):
+            determine_reader_writer_from_dataset_json(dj)
+        return
+
+    # nibabel available: LPS-stored volume reorients to RAS on read and the
+    # written seg restores the original affine
+    rw = determine_reader_writer_from_dataset_json(dj)
+    affine = np.diag([-1.0, -1.0, 1.0, 1.0])  # LPS-ish
+    vol = np.arange(2 * 3 * 4, dtype=np.float32).reshape(2, 3, 4)
+    src = str(tmp_path / "v.nii.gz")
+    nibabel.save(nibabel.Nifti1Image(vol, affine), src)
+    data, props = rw.read_images([src])
+    assert data.shape[0] == 1
+    out = str(tmp_path / "s.nii.gz")
+    rw.write_seg(data[0].astype(np.uint8), out, props)
+    restored = nibabel.load(out)
+    np.testing.assert_allclose(restored.affine, affine)

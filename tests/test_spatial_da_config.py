@@ -200,3 +200,66 @@ def test_trainer_enlarges_train_patch_and_crops_back(tmp_path):
     s = rng.integers(0, 2, (2, *ip)).astype(np.int32)
     od, os_ = tr.host_spatial(d, s)
     assert od.shape == (2, 32, 16, 1) and os_.shape == (2, 32, 16)
+
+
+# --- out_size fused crop: kernel output == transform-then-center-crop ------
+
+def test_out_size_2d_matches_crop_after_transform():
+    from ldiffusion_tpu.native import (
+        affine_augment_batch_native,
+        affine_augment_batch_numpy,
+    )
+
+    rng = np.random.default_rng(11)
+    data = np.ascontiguousarray(rng.random((3, 21, 17, 2)), np.float32)
+    seg = np.ascontiguousarray(rng.integers(0, 4, (3, 21, 17)), np.int16)
+    ang = np.asarray([0.7, -0.3, 0.0])
+    sc = np.asarray([0.9, 1.2, 1.0])
+    ap = np.asarray([True, True, False])
+    for order in (1, 0):
+        full = affine_augment_batch_numpy(data, seg, ang, sc, ap,
+                                          data_order=order)
+        fused = affine_augment_batch_numpy(data, seg, ang, sc, ap,
+                                           data_order=order,
+                                           out_size=(16, 12))
+        want_d, want_s = center_crop_batch(full[0], full[1], (16, 12))
+        np.testing.assert_array_equal(fused[0], want_d)
+        np.testing.assert_array_equal(fused[1], want_s)
+        nat = affine_augment_batch_native(data, seg, ang, sc, ap,
+                                          data_order=order,
+                                          out_size=(16, 12))
+        if nat is not None:
+            np.testing.assert_allclose(nat[0], want_d, atol=1e-5)
+            np.testing.assert_array_equal(nat[1], want_s)
+
+
+def test_out_size_3d_matches_crop_after_transform():
+    from ldiffusion_tpu.native import (
+        affine_augment_batch_3d_native,
+        affine_augment_batch_3d_numpy,
+    )
+
+    rng = np.random.default_rng(13)
+    data = np.ascontiguousarray(rng.random((2, 9, 12, 10, 1)), np.float32)
+    seg = np.ascontiguousarray(rng.integers(0, 3, (2, 9, 12, 10)), np.int16)
+    ax = np.asarray([0.4, 0.0])
+    ay = np.asarray([-0.2, 0.0])
+    az = np.asarray([0.3, 0.0])
+    sc = np.asarray([1.1, 1.0])
+    ap = np.asarray([True, False])
+    out_size = (6, 8, 7)
+    for order in (1, 0):
+        full = affine_augment_batch_3d_numpy(data, seg, ax, ay, az, sc, ap,
+                                             data_order=order)
+        fused = affine_augment_batch_3d_numpy(data, seg, ax, ay, az, sc, ap,
+                                              data_order=order,
+                                              out_size=out_size)
+        want_d, want_s = center_crop_batch(full[0], full[1], out_size)
+        np.testing.assert_array_equal(fused[0], want_d)
+        np.testing.assert_array_equal(fused[1], want_s)
+        nat = affine_augment_batch_3d_native(data, seg, ax, ay, az, sc, ap,
+                                             data_order=order,
+                                             out_size=out_size)
+        if nat is not None:
+            np.testing.assert_allclose(nat[0], want_d, atol=1e-5)
+            np.testing.assert_array_equal(nat[1], want_s)
