@@ -3,8 +3,10 @@
 Behavioral contract: the reference's console entry points
 (``model/pyproject.toml:69-85``): ``nnUNetv2_plan_and_preprocess`` /
 ``nnUNetv2_train`` / ``nnUNetv2_predict`` with the
-``-d/-c/-f/-tr/--c/--val/--npz/--save_probabilities/--continue_prediction``
-flag surface (``run/run_training.py:212-271``,
+``-d/-c/-f/-tr/-p/-pretrained_weights/--c/--val/--val_best/--npz/
+--disable_checkpointing/-chk/-step_size/-num_parts/-part_id/
+--save_probabilities/--continue_prediction`` flag surface
+(``run/run_training.py:212-271``,
 ``experiment_planning/plan_and_preprocess_entrypoints.py:8-204``,
 ``inference/predict_from_raw_data.py:637-767``), mapped onto this
 framework's programmatic stack:
@@ -198,11 +200,25 @@ def _pp_dataset_dir(pp_root: str, raw_ds_dir: str) -> str:
 
 
 def _results_config_dir(results_root: str, raw_ds_name: str, trainer: str,
-                        config: str) -> str:
+                        config: str, plans_name: str = "ldPlans") -> str:
     """nnUNet results naming: Dataset/trainer__plans__config (reference
-    ``utilities/file_path_utilities.py`` get_output_folder)."""
+    ``utilities/file_path_utilities.py`` get_output_folder). ``plans_name``
+    is the ``-p`` plans identifier (default ldPlans)."""
     return os.path.join(results_root, raw_ds_name,
-                        f"{trainer}__ldPlans__{config}")
+                        f"{trainer}__{plans_name}__{config}")
+
+
+def _plans_filename(args, volumetric: bool) -> str:
+    """-p plans identifier → on-disk plans filename in the preprocessed dir.
+    The default identifier keeps the historical plans.json / plans_3d.json
+    names; a custom ``-p NAME`` (e.g. written by a custom planner or edited
+    from a plans file with ``inherits_from``) reads NAME.json / NAME_3d.json.
+    Deviation vs the reference: custom plans reuse the canonical
+    preprocessed store (no per-plans data_identifier re-preprocess)."""
+    p = getattr(args, "p", None) or "ldPlans"
+    if volumetric:
+        return "plans_3d.json" if p == "ldPlans" else f"{p}_3d.json"
+    return "plans.json" if p == "ldPlans" else f"{p}.json"
 
 
 def _max_label_value(lm) -> int:
@@ -312,7 +328,7 @@ def _load_preprocessed_3d(args):
                        "--preprocessed", "LDIFFUSION_PREPROCESSED")
     ds_dir = find_dataset_dir(raw_root, args.d)
     pp_dir = _pp_dataset_dir(pp_root, ds_dir)
-    plans_path = os.path.join(pp_dir, "plans_3d.json")
+    plans_path = os.path.join(pp_dir, _plans_filename(args, volumetric=True))
     if not os.path.exists(plans_path):
         raise SystemExit(f"{plans_path} missing — run plan_and_preprocess "
                          f"on this (volumetric) dataset first")
@@ -420,7 +436,7 @@ def _load_preprocessed(args) -> Tuple[str, str, object, object, object]:
     pp_dir = _pp_dataset_dir(pp_root, ds_dir)
     if not os.path.isdir(pp_dir):
         raise SystemExit(f"{pp_dir} missing — run plan_and_preprocess first")
-    plan = SegPlan.load(os.path.join(pp_dir, "plans.json"))
+    plan = SegPlan.load(os.path.join(pp_dir, _plans_filename(args, False)))
     lm, _ = _label_manager(pp_dir)
     ds = PreprocessedDataset.load(os.path.join(pp_dir, "ldPlans_2d"))
     return ds_dir, pp_dir, plan, lm, ds
@@ -455,7 +471,9 @@ def cmd_train(args) -> str:
     tr_keys, va_keys = do_split(ds.keys(), fold,
                                 os.path.join(pp_dir, "splits_final.json"))
     cfg_dir = _results_config_dir(results_root, os.path.basename(ds_dir),
-                                  args.tr, args.c)
+                                  args.tr, args.c,
+                                  plans_name=getattr(args, "p", None)
+                                  or "ldPlans")
     os.makedirs(cfg_dir, exist_ok=True)
     plan.save(os.path.join(cfg_dir, "plans.json"))
     with open(os.path.join(pp_dir, "dataset.json")) as f:
@@ -495,25 +513,43 @@ def cmd_train(args) -> str:
     trainer = SegmentorTrainer(plan, variant.config, mesh,
                                output_dir=fold_dir, variant=variant,
                                label_manager=lm)
+    trainer.disable_checkpointing = bool(getattr(args, "disable_checkpointing",
+                                                 False))
     if args.val:
+        # --val_best validates checkpoint_best instead of final (reference
+        # run_training.py:241-245); plain --val prefers final
+        names = ("checkpoint_best.pkl",) if getattr(args, "val_best", False) \
+            else ("checkpoint_final.pkl", "checkpoint_best.pkl",
+                  "checkpoint_latest.pkl")
         ck = None
-        for name in ("checkpoint_final.pkl", "checkpoint_best.pkl",
-                     "checkpoint_latest.pkl"):
+        for name in names:
             p = os.path.join(fold_dir, name)
             if os.path.exists(p):
                 ck = p
                 break
         if ck is None:
-            raise SystemExit(f"--val: no checkpoint under {fold_dir}")
+            raise SystemExit(f"--val: no checkpoint under {fold_dir}"
+                             + (" (--val_best needs checkpoint_best.pkl)"
+                                if getattr(args, "val_best", False) else ""))
         trainer.load_checkpoint(ck)
     else:
+        if getattr(args, "pretrained_weights", None):
+            if args.c_continue:
+                # reference maybe_load_checkpoint: resume wins, pretrained
+                # weights are ignored with a warning (run_training.py:76-86)
+                print("WARNING: --c resume requested — ignoring "
+                      "-pretrained_weights (reference semantics)")
+            else:
+                trainer.load_pretrained(args.pretrained_weights)
         trainer.run_training(ds.subset(tr_keys), ds.subset(va_keys),
                              continue_training=args.c_continue)
     val_imgs = [ds[k].data for k in va_keys]
     val_labs = [np.maximum(ds[k].seg, 0) for k in va_keys]
     # preprocessed-store cases are already normalized (and the cascade's
     # appended one-hot channels must stay {0,1}) — do not re-normalize
-    trainer.perform_actual_validation(val_imgs, val_labs, normalize=False)
+    trainer.perform_actual_validation(val_imgs, val_labs, normalize=False,
+                                      save_npz=bool(getattr(args, "npz",
+                                                            False)))
     print(f"fold {fold} done → {fold_dir}")
     return fold_dir
 
@@ -543,12 +579,15 @@ def _cmd_predict_volumetric(args) -> str:
     raw_root = args.raw or env_paths.raw_dir(warn=False)
     ds_name = os.path.basename(find_dataset_dir(raw_root, args.d)) \
         if raw_root else f"Dataset{int(args.d):03d}"
-    cfg_dir = _results_config_dir(results_root, ds_name, args.tr, args.c)
+    cfg_dir = _results_config_dir(results_root, ds_name, args.tr, args.c,
+                                  plans_name=getattr(args, "p", None)
+                                  or "ldPlans")
     if not os.path.isdir(cfg_dir):
         raise SystemExit(f"{cfg_dir} missing — train first")
     plan = SegPlan3D.load(os.path.join(cfg_dir, "plans.json"))
     lm, dataset_json = _label_manager(cfg_dir)
-    ckpts = find_fold_checkpoints(cfg_dir, folds=args.f)
+    ckpts = find_fold_checkpoints(cfg_dir, folds=args.f,
+                                  checkpoint_name=getattr(args, "chk", None))
     # variant-restricted mirror TTA (reference
     # inference_allowed_mirroring_axes — a NoMirroring/NoDA-trained model
     # must not be flipped at inference)
@@ -561,12 +600,14 @@ def _cmd_predict_volumetric(args) -> str:
     use_mirroring = (not args.disable_tta) and vmirror
     predictor = SlidingWindowPredictor.from_checkpoints(
         plan, ckpts, use_mirroring=use_mirroring, mirror_axes=vaxes,
-        label_manager=lm)
+        label_manager=lm, tile_step_size=getattr(args, "step_size", 0.5))
 
     prev_predictor = prev_plan = None
     if args.c == "3d_cascade_fullres":
         low_dir = _results_config_dir(results_root, ds_name, args.tr,
-                                      "3d_lowres")
+                                      "3d_lowres",
+                                      plans_name=getattr(args, "p", None)
+                                      or "ldPlans")
         if not os.path.isdir(low_dir):
             raise SystemExit(f"cascade prediction requires the trained "
                              f"3d_lowres stage ({low_dir} missing)")
@@ -587,7 +628,9 @@ def _cmd_predict_volumetric(args) -> str:
         return resample_data_3d(vol, new_shape, spacing, order=3)
 
     n = 0
-    for case, files in sorted(groups.items()):
+    cases = sorted(groups.items())
+    cases = cases[getattr(args, "part_id", 0)::getattr(args, "num_parts", 1)]
+    for case, files in cases:
         out_path = os.path.join(args.o, f"{case}{ending}")
         if args.continue_prediction and os.path.exists(out_path):
             continue
@@ -648,12 +691,15 @@ def cmd_predict(args) -> str:
     raw_root = args.raw or env_paths.raw_dir(warn=False)
     ds_name = os.path.basename(find_dataset_dir(raw_root, args.d)) \
         if raw_root else f"Dataset{int(args.d):03d}"
-    cfg_dir = _results_config_dir(results_root, ds_name, args.tr, args.c)
+    cfg_dir = _results_config_dir(results_root, ds_name, args.tr, args.c,
+                                  plans_name=getattr(args, "p", None)
+                                  or "ldPlans")
     if not os.path.isdir(cfg_dir):
         raise SystemExit(f"{cfg_dir} missing — train first")
     plan = SegPlan.load(os.path.join(cfg_dir, "plans.json"))
     lm, _ = _label_manager(cfg_dir)
-    ckpts = find_fold_checkpoints(cfg_dir, folds=args.f)
+    ckpts = find_fold_checkpoints(cfg_dir, folds=args.f,
+                                  checkpoint_name=getattr(args, "chk", None))
     # mirror TTA restricted to the axes the -tr variant trained with
     # (reference inference_allowed_mirroring_axes)
     from ldiffusion_tpu.segmentor.variants import (
@@ -665,19 +711,20 @@ def cmd_predict(args) -> str:
                                              len(plan.patch_size))
     predictor = SlidingWindowPredictor.from_checkpoints(
         plan, ckpts, use_mirroring=(not args.disable_tta) and vmirror,
-        mirror_axes=vaxes, label_manager=lm)
+        mirror_axes=vaxes, label_manager=lm,
+        tile_step_size=getattr(args, "step_size", 0.5))
 
     os.makedirs(args.o, exist_ok=True)
     n = 0
-    for fn in sorted(os.listdir(args.i)):
-        if not fn.lower().endswith(".png"):
-            continue
-        case = fn[:-9] if fn.endswith("_0000.png") else fn[:-4]
+    cases = sorted(_group_channel_files(args.i, ".png").items())
+    # -num_parts/-part_id folder sharding (reference
+    # predict_from_raw_data.py:226-231: files[part_id::num_parts])
+    cases = cases[getattr(args, "part_id", 0)::getattr(args, "num_parts", 1)]
+    for case, files in cases:
         out_png = os.path.join(args.o, f"{case}.png")
         if args.continue_prediction and os.path.exists(out_png):
             continue  # reference predict_from_raw_data.py:187-198
-        img = np.asarray(Image.open(os.path.join(args.i, fn)).convert("RGB"),
-                         np.float32) / 255.0
+        img = _load_png_channels([os.path.join(args.i, f) for f in files])
         logits = predictor.predict_logits(img)
         seg = lm.convert_logits_to_segmentation(logits)
         Image.fromarray(seg.astype(np.uint8)).save(out_png)
@@ -929,7 +976,8 @@ def cmd_predict_from_modelfolder(args):
     cfg_dir = args.m
     plan = SegPlan.load(os.path.join(cfg_dir, "plans.json"))
     lm, _ = _label_manager(cfg_dir)
-    ckpts = find_fold_checkpoints(cfg_dir, folds=args.f)
+    ckpts = find_fold_checkpoints(cfg_dir, folds=args.f,
+                                  checkpoint_name=getattr(args, "chk", None))
     # the results-folder naming encodes the trainer ({tr}__ldPlans__{cfg},
     # _results_config_dir) — recover it so variant mirror restrictions
     # (NoMirroring/NoDA/onlyMirror01) survive modelfolder prediction too
@@ -944,15 +992,12 @@ def cmd_predict_from_modelfolder(args):
     vmirror, vaxes = inference_mirror_config(variant, len(plan.patch_size))
     predictor = SlidingWindowPredictor.from_checkpoints(
         plan, ckpts, use_mirroring=(not args.disable_tta) and vmirror,
-        mirror_axes=vaxes, label_manager=lm)
+        mirror_axes=vaxes, label_manager=lm,
+        tile_step_size=getattr(args, "step_size", 0.5))
     os.makedirs(args.o, exist_ok=True)
     n = 0
-    for fn in sorted(os.listdir(args.i)):
-        if not fn.lower().endswith(".png"):
-            continue
-        case = fn[:-9] if fn.endswith("_0000.png") else fn[:-4]
-        img = np.asarray(Image.open(os.path.join(args.i, fn)).convert("RGB"),
-                         np.float32) / 255.0
+    for case, files in sorted(_group_channel_files(args.i, ".png").items()):
+        img = _load_png_channels([os.path.join(args.i, f) for f in files])
         logits = predictor.predict_logits(img)
         seg = lm.convert_logits_to_segmentation(logits)
         Image.fromarray(seg.astype(np.uint8)).save(
@@ -1135,10 +1180,26 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("-c", default="2d", help="configuration: 2d | 3d_fullres | 3d_lowres | 3d_cascade_fullres")
     tr.add_argument("-f", default="0", help="fold index or 'all'")
     tr.add_argument("-tr", default="nnUNetTrainer", help="trainer variant name")
+    tr.add_argument("-p", default="ldPlans",
+                    help="plans identifier (custom NAME reads NAME.json / "
+                         "NAME_3d.json from the preprocessed dir and names "
+                         "the results dir trainer__NAME__config)")
+    tr.add_argument("-pretrained_weights", default=None,
+                    help="checkpoint .pkl whose shape-matched tensors "
+                         "initialize the fresh model (nnUNetv2_train "
+                         "-pretrained_weights)")
     tr.add_argument("--c", dest="c_continue", action="store_true",
                     help="continue from latest checkpoint")
     tr.add_argument("--val", action="store_true",
                     help="validation only (needs a trained checkpoint)")
+    tr.add_argument("--val_best", action="store_true",
+                    help="with --val: validate checkpoint_best instead of "
+                         "final")
+    tr.add_argument("--npz", action="store_true",
+                    help="save validation probabilities as npz (feeds "
+                         "find_best_configuration ensembling)")
+    tr.add_argument("--disable_checkpointing", action="store_true",
+                    help="skip every checkpoint save (testing)")
     tr.add_argument("--epochs", type=int, default=None,
                     help="override epoch count (tests/smoke runs)")
     tr.add_argument("--iters", type=int, default=None,
@@ -1156,6 +1217,18 @@ def build_parser() -> argparse.ArgumentParser:
                          "nnUNetv2_predict; untrained folds are skipped "
                          "with a warning)")
     pr.add_argument("-tr", default="nnUNetTrainer")
+    pr.add_argument("-p", default="ldPlans", help="plans identifier")
+    pr.add_argument("-chk", default=None,
+                    help="exact checkpoint file name (e.g. "
+                         "checkpoint_final.pkl); default prefers best, "
+                         "falling back to final")
+    pr.add_argument("-step_size", type=float, default=0.5,
+                    help="sliding-window step as a fraction of patch size")
+    pr.add_argument("-num_parts", type=int, default=1,
+                    help="split the input folder into this many parts")
+    pr.add_argument("-part_id", type=int, default=0,
+                    help="which part this invocation predicts "
+                         "(files[part_id::num_parts])")
     pr.add_argument("--save_probabilities", action="store_true")
     pr.add_argument("--continue_prediction", action="store_true")
     pr.add_argument("--disable_tta", action="store_true")
@@ -1223,6 +1296,9 @@ def build_parser() -> argparse.ArgumentParser:
     pm.add_argument("-f", nargs="+", default=["0", "1", "2", "3", "4"],
                     help="folds to ensemble (default: all five; untrained "
                          "folds are skipped with a warning)")
+    pm.add_argument("-chk", default=None, help="exact checkpoint file name")
+    pm.add_argument("-step_size", type=float, default=0.5,
+                    help="sliding-window step as a fraction of patch size")
     pm.add_argument("--save_probabilities", action="store_true")
     pm.add_argument("--disable_tta", action="store_true")
     pm.set_defaults(fn=cmd_predict_from_modelfolder)

@@ -65,12 +65,14 @@ def gaussian_importance_map(patch: Tuple[int, int], sigma_scale: float = 1.0 / 8
     return g.astype(np.float32)
 
 
-def find_fold_checkpoints(config_dir: str, folds=None) -> List[str]:
+def find_fold_checkpoints(config_dir: str, folds=None,
+                          checkpoint_name: str = None) -> List[str]:
     """Best (falling back to final) checkpoint per ``fold_*`` dir — the one
     shared implementation of per-fold checkpoint discovery (reference loads
     ``checkpoint_best.pth`` per fold, ``predict_from_raw_data.py:78-125``).
     ``folds=None`` takes every fold dir present; a flat layout (no fold
-    dirs) is searched directly. Raises when nothing is found."""
+    dirs) is searched directly. ``checkpoint_name`` (the -chk flag) forces
+    one exact file name. Raises when nothing is found."""
     import glob as _glob
     import os as _os
 
@@ -79,9 +81,14 @@ def find_fold_checkpoints(config_dir: str, folds=None) -> List[str]:
                       if _os.path.isdir(d)) or [config_dir]
     else:
         dirs = [_os.path.join(config_dir, f"fold_{f}") for f in folds]
+    # -chk forces one exact checkpoint name (reference nnUNetv2_predict
+    # -chk, default checkpoint_final.pth there); default keeps this repo's
+    # best-falling-back-to-final preference
+    names = (checkpoint_name,) if checkpoint_name else \
+        ("checkpoint_best.pkl", "checkpoint_final.pkl")
     ckpts = []
     for d in dirs:
-        for name in ("checkpoint_best.pkl", "checkpoint_final.pkl"):
+        for name in names:
             p = _os.path.join(d, name)
             if _os.path.exists(p):
                 ckpts.append(p)
@@ -92,15 +99,16 @@ def find_fold_checkpoints(config_dir: str, folds=None) -> List[str]:
                       f"(ensembling over the trained folds only)")
     if not ckpts:
         raise FileNotFoundError(
-            f"no checkpoint_best/final.pkl under {config_dir} "
-            f"(folds={folds if folds is not None else 'all'})")
+            f"no {checkpoint_name or 'checkpoint_best/final.pkl'} under "
+            f"{config_dir} (folds={folds if folds is not None else 'all'})")
     return ckpts
 
 
 class SlidingWindowPredictor:
     def __init__(self, plan, params, use_gaussian: bool = True,
                  use_mirroring: bool = True, dtype=jnp.bfloat16,
-                 label_manager=None, mirror_axes=None):
+                 label_manager=None, mirror_axes=None,
+                 tile_step_size: float = 0.5):
         """plan: SegPlan (2D) or SegPlan3D — the same scan-tiled program
         drives both (the 3D analog of the reference's
         ``data_loader_3d``-fed predictor).
@@ -136,6 +144,9 @@ class SlidingWindowPredictor:
         allowed = range(self.nd) if mirror_axes is None else mirror_axes
         self.mirror_array_axes = tuple(sorted(
             a + 1 for a in allowed if 0 <= a < self.nd))
+        # sliding-window overlap (reference -step_size, default 0.5)
+        assert 0 < tile_step_size <= 1, tile_step_size
+        self.tile_step_size = float(tile_step_size)
         self._predict_cache = {}
 
     @classmethod
@@ -226,7 +237,8 @@ class SlidingWindowPredictor:
         if any(pads):
             image = np.pad(image, [(0, p) for p in pads] + [(0, 0)])
         padded = image.shape[:nd]
-        steps = [compute_steps(padded[i], patch[i]) for i in range(nd)]
+        steps = [compute_steps(padded[i], patch[i], self.tile_step_size)
+                 for i in range(nd)]
         positions = np.array(list(itertools.product(*steps)), np.int32)
         cache_key = (padded, len(positions))
         if cache_key not in self._predict_cache:

@@ -151,6 +151,8 @@ class SegmentorTrainer:
         self.epoch_log = EpochLogger(config.ema_decay)
         self.current_epoch = 0
         self.best_ema: Optional[float] = None
+        # --disable_checkpointing (reference run_training.py:246-248)
+        self.disable_checkpointing = False
 
         dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
         net_cfg = plan.network_config()
@@ -515,19 +517,23 @@ class SegmentorTrainer:
                      f"pseudo-dice {mean_fg:.4f} (EMA {ema:.4f}) "
                      f"lr {lr:.5f} [{time.time() - t0:.1f}s]")
 
-            # ---- checkpoints (reference :1030-1054) ----
+            # ---- checkpoints (reference :1030-1054; --disable_checkpointing
+            # skips every save, run_training.py:246-248) ----
             self.current_epoch = epoch + 1
             if self.best_ema is None or ema > self.best_ema:
                 self.best_ema = ema
-                self.save_checkpoint(os.path.join(self.output_dir, "checkpoint_best.pkl"))
-            if (epoch + 1) % cfg.save_every == 0 or epoch == num_epochs - 1:
+                if not self.disable_checkpointing:
+                    self.save_checkpoint(os.path.join(self.output_dir, "checkpoint_best.pkl"))
+            if not self.disable_checkpointing and \
+                    ((epoch + 1) % cfg.save_every == 0 or epoch == num_epochs - 1):
                 self.save_checkpoint(os.path.join(self.output_dir, "checkpoint_latest.pkl"))
             self.epoch_log.plot_progress(os.path.join(self.output_dir, "progress.png"))
 
         for it in (train_iter, val_iter):
             if hasattr(it, "close"):
                 it.close()
-        self.save_checkpoint(os.path.join(self.output_dir, "checkpoint_final.pkl"))
+        if not self.disable_checkpointing:
+            self.save_checkpoint(os.path.join(self.output_dir, "checkpoint_final.pkl"))
         self._write_benchmark_result()
 
     def _write_benchmark_result(self):
@@ -560,7 +566,8 @@ class SegmentorTrainer:
     # ------------------------------------------------------------------
     def perform_actual_validation(self, val_images, val_labels, gt_dir=None,
                                   determine_pp: bool = True,
-                                  normalize: bool = True):
+                                  normalize: bool = True,
+                                  save_npz: bool = False):
         """Final validation: sliding-window predict every val case, write
         PNGs + nnUNet-style summary.json, optionally determine connected-
         component postprocessing (reference ``nnUNetTrainer.py:1119-1246`` +
@@ -572,7 +579,12 @@ class SegmentorTrainer:
         normalize: z-score the images before prediction. Pass False when the
         cases come from the PREPROCESSED store (already normalized there —
         re-normalizing would distort non-zscore schemes and, for the cascade
-        config, corrupt the appended {0,1} prev-stage one-hot channels)."""
+        config, corrupt the appended {0,1} prev-stage one-hot channels).
+
+        save_npz: additionally write each case's probabilities as
+        ``case_NNN.npz`` next to its segmentation — the ``--npz`` flag that
+        feeds find_best_configuration's ensembling (reference
+        ``run_training.py:236-238`` → ``nnUNetTrainer.py:1152-1158``)."""
         import jax as _jax
         import numpy as _np
         from PIL import Image as _Image
@@ -613,8 +625,22 @@ class SegmentorTrainer:
         for i, (img, lab) in enumerate(zip(val_images, val_labels)):
             if i % n_proc != idx:
                 continue  # interleaved case sharding across hosts
-            seg = predictor.predict(_np.asarray(img, _np.float32),
-                                    normalize=normalize)
+            img = _np.asarray(img, _np.float32)
+            if save_npz:
+                from ldiffusion_tpu.segmentor.export import (
+                    save_probabilities_npz,
+                )
+
+                # one prediction pass: logits feed both the npz and the seg
+                logits = predictor.predict_logits(img, normalize=normalize)
+                save_probabilities_npz(logits,
+                                       os.path.join(out_dir, f"case_{i:03d}.npz"),
+                                       label_manager=self.label_manager)
+                seg = (self.label_manager.convert_logits_to_segmentation(logits)
+                       if self.label_manager is not None
+                       else _np.argmax(logits, axis=-1).astype(_np.uint8))
+            else:
+                seg = predictor.predict(img, normalize=normalize)
             if seg.ndim == 3:   # volumetric configs: .npy cases
                 _np.save(os.path.join(out_dir, f"case_{i:03d}.npy"), seg)
                 _np.save(os.path.join(gt_out, f"case_{i:03d}.npy"),
@@ -688,6 +714,26 @@ class SegmentorTrainer:
             "logger": self.epoch_log.state_dict(),
             "plan": self.plan.to_json(),
         })
+
+    def load_pretrained(self, path: str):
+        """-pretrained_weights semantics (reference
+        ``run/run_training.py:71-99`` maybe_load_checkpoint →
+        ``load_pretrained_weights.py``): shape-matched tensors from another
+        run's checkpoint are transferred into the FRESH model; optimizer
+        state, epoch counter and logger are NOT restored."""
+        from ldiffusion_tpu.segmentor.pretrained import (
+            transfer_pretrained_weights,
+        )
+
+        ck = load_pytree(path)
+        src = ck["params"] if isinstance(ck, dict) and "params" in ck else ck
+        new_params, transferred, _ = transfer_pretrained_weights(
+            self.state.params, src)
+        assert transferred, f"no shape-matched tensors found in {path}"
+        self.state = self.state._replace(
+            params=jax.device_put(new_params, self.mesh.replicated))
+        self.log(f"pretrained weights: transferred {len(transferred)} "
+                 f"tensors from {path}")
 
     def load_checkpoint(self, path: str):
         ck = load_pytree(path)

@@ -309,3 +309,89 @@ def test_cli_convert_old_dataset(tmp_path):
     assert dj["file_ending"] == ".png"
     assert "training" not in dj and "modality" not in dj
     assert os.path.exists(os.path.join(dst, "imagesTr", "case_000_0000.png"))
+
+
+@pytest.mark.slow
+def test_cli_train_flag_parity(tmp_path):
+    """The nnUNetv2_train flag family (reference run_training.py:212-271):
+    --npz writes validation probabilities, --disable_checkpointing skips
+    every save, --val_best validates checkpoint_best, -pretrained_weights
+    transfers shape-matched tensors, -p selects a custom plans identifier."""
+    import shutil
+
+    raw, pp, res = _roots(tmp_path)
+    dataset_id = 7
+    ds_dir = os.path.join(raw, f"Dataset{dataset_id:03d}_Test")
+    generate_integration_test_dataset(ds_dir, n_cases=4, size=32,
+                                      num_classes=3)
+    main(["plan_and_preprocess", "-d", str(dataset_id),
+          "--raw", raw, "--preprocessed", pp])
+    pp_dir = os.path.join(pp, f"Dataset{dataset_id:03d}_Test")
+    base = ["--raw", raw, "--preprocessed", pp, "--results", res,
+            "--epochs", "1", "--iters", "2"]
+
+    # fold 0: normal train (checkpoints exist) + --npz validation output
+    main(["train", "-d", str(dataset_id), "-c", "2d", "-f", "0", "--npz",
+          *base])
+    fold0 = os.path.join(res, f"Dataset{dataset_id:03d}_Test",
+                         "nnUNetTrainer__ldPlans__2d", "fold_0")
+    val_files = os.listdir(os.path.join(fold0, "validation"))
+    assert any(f.endswith(".npz") for f in val_files)
+    assert os.path.exists(os.path.join(fold0, "checkpoint_best.pkl"))
+
+    # --val --val_best revalidates from checkpoint_best
+    main(["train", "-d", str(dataset_id), "-c", "2d", "-f", "0",
+          "--val", "--val_best", *base])
+
+    # fold 1: --disable_checkpointing + -pretrained_weights from fold 0
+    main(["train", "-d", str(dataset_id), "-c", "2d", "-f", "1",
+          "--disable_checkpointing", "-pretrained_weights",
+          os.path.join(fold0, "checkpoint_final.pkl"), *base])
+    fold1 = os.path.join(res, f"Dataset{dataset_id:03d}_Test",
+                         "nnUNetTrainer__ldPlans__2d", "fold_1")
+    assert not [f for f in os.listdir(fold1) if f.startswith("checkpoint")]
+    assert os.path.exists(os.path.join(fold1, "validation", "summary.json"))
+
+    # -p custom: reads custom.json, names the results dir with it
+    shutil.copy(os.path.join(pp_dir, "plans.json"),
+                os.path.join(pp_dir, "customPlans.json"))
+    main(["train", "-d", str(dataset_id), "-c", "2d", "-f", "0",
+          "-p", "customPlans", *base])
+    assert os.path.isdir(os.path.join(
+        res, f"Dataset{dataset_id:03d}_Test",
+        "nnUNetTrainer__customPlans__2d", "fold_0"))
+
+
+@pytest.mark.slow
+def test_cli_predict_flag_parity(tmp_path):
+    """nnUNetv2_predict's -chk / -step_size / -num_parts / -part_id
+    (reference predict_from_raw_data.py:637-767): exact-checkpoint
+    selection, sliding-window overlap, and folder sharding that tiles the
+    input exactly once across parts."""
+    raw, pp, res = _roots(tmp_path)
+    dataset_id = 8
+    ds_dir = os.path.join(raw, f"Dataset{dataset_id:03d}_Test")
+    generate_integration_test_dataset(ds_dir, n_cases=4, size=32,
+                                      num_classes=3)
+    main(["plan_and_preprocess", "-d", str(dataset_id),
+          "--raw", raw, "--preprocessed", pp])
+    main(["train", "-d", str(dataset_id), "-c", "2d", "-f", "0",
+          "--epochs", "1", "--iters", "2",
+          "--raw", raw, "--preprocessed", pp, "--results", res])
+    src = os.path.join(ds_dir, "imagesTs")
+    n_inputs = len([f for f in os.listdir(src) if f.endswith(".png")])
+    assert n_inputs >= 2
+
+    # -chk with a bogus name fails loudly; with final it works
+    with pytest.raises(FileNotFoundError):
+        main(["predict", "-i", src, "-o", str(tmp_path / "x"),
+              "-d", str(dataset_id), "-f", "0", "-chk", "nope.pkl",
+              "--disable_tta", "--raw", raw, "--results", res])
+    out = str(tmp_path / "sharded")
+    for part in range(2):
+        main(["predict", "-i", src, "-o", out, "-d", str(dataset_id),
+              "-f", "0", "-chk", "checkpoint_final.pkl",
+              "-step_size", "0.75", "-num_parts", "2", "-part_id", str(part),
+              "--disable_tta", "--raw", raw, "--results", res])
+    preds = [f for f in os.listdir(out) if f.endswith(".png")]
+    assert len(preds) == n_inputs  # both parts together cover every case
