@@ -232,6 +232,21 @@ def _max_label_value(lm) -> int:
 # subcommands
 # ---------------------------------------------------------------------------
 
+def _planner_kind(name: str) -> str:
+    """-pl planner selection: "default"/"resenc" directly, or any reference
+    planner class name (nnUNetPlannerResEncM/L/XL, ResEncUNetPlanner →
+    resenc; ExperimentPlanner → default — reference
+    ``plan_and_preprocess_entrypoints.py:95-118``). Unknown names raise."""
+    n = (name or "default").lower()
+    if "resenc" in n:
+        return "resenc"
+    if n in ("default", "experimentplanner", "nnunetplanner"):
+        return "default"
+    raise SystemExit(f"unknown planner {name!r} — use 'default', 'resenc', "
+                     f"or a reference planner class name "
+                     f"(nnUNetPlannerResEncM/L/XL, ExperimentPlanner)")
+
+
 def cmd_plan_and_preprocess(args) -> str:
     """fingerprint → plan → preprocess (reference
     ``plan_and_preprocess_entrypoints.py:8-204``)."""
@@ -249,9 +264,10 @@ def cmd_plan_and_preprocess(args) -> str:
     ds_dir = find_dataset_dir(raw_root, args.d)
     lm, dataset_json = _label_manager(ds_dir)
     if _is_volumetric_dataset(dataset_json):
-        return _plan_and_preprocess_volumetric(ds_dir, pp_root, lm,
-                                               dataset_json,
-                                               hbm_budget=args.hbm_budget)
+        return _plan_and_preprocess_volumetric(
+            ds_dir, pp_root, lm, dataset_json, hbm_budget=args.hbm_budget,
+            planner=_planner_kind(getattr(args, "pl", None)),
+            no_pp=bool(getattr(args, "no_pp", False)))
     ids, images, labels = load_png_cases(ds_dir, "Tr")
     if not ids:
         raise SystemExit(f"no training cases under {ds_dir}/imagesTr")
@@ -266,12 +282,16 @@ def cmd_plan_and_preprocess(args) -> str:
             raise SystemExit(f"dataset integrity check failed: {problems}")
 
     fp = extract_fingerprint(images, labels)
-    plan = plan_experiment(fp, lm.num_segmentation_heads)
+    plan = plan_experiment(fp, lm.num_segmentation_heads,
+                           planner=_planner_kind(getattr(args, "pl", None)))
     out = _pp_dataset_dir(pp_root, ds_dir)
     os.makedirs(out, exist_ok=True)
     plan.save(os.path.join(out, "plans.json"))
     with open(os.path.join(out, "dataset.json"), "w") as f:
         json.dump(dataset_json, f, indent=2)
+    if getattr(args, "no_pp", False):
+        print(f"plans written to {out} (--no_pp: preprocessing skipped)")
+        return out
     # per-case npz store (the unpacked analog of nnUNet's npz+pkl pairs)
     PreprocessedDataset.build(images, labels, _max_label_value(lm) + 1,
                               case_ids=ids,
@@ -281,7 +301,9 @@ def cmd_plan_and_preprocess(args) -> str:
 
 
 def _plan_and_preprocess_volumetric(ds_dir: str, pp_root: str, lm,
-                                    dataset_json, hbm_budget=None) -> str:
+                                    dataset_json, hbm_budget=None,
+                                    planner: str = "default",
+                                    no_pp: bool = False) -> str:
     """Volumetric plan-and-preprocess: fingerprint → ALL 3D configurations
     (3d_fullres always; 3d_lowres + 3d_cascade_fullres for large volumes) →
     per-config preprocessed stores + a multi-config plans file (reference
@@ -302,8 +324,9 @@ def _plan_and_preprocess_volumetric(ds_dir: str, pp_root: str, lm,
     os.makedirs(out, exist_ok=True)
     configs, datasets = plan_and_preprocess_3d(
         vols, labs, lm.num_segmentation_heads, spacings=spacings,
-        hbm_budget=hbm_budget or HBM_BUDGET_BYTES,
-        plans_path=os.path.join(out, "plans_3d.json"))
+        planner=planner, hbm_budget=hbm_budget or HBM_BUDGET_BYTES,
+        plans_path=os.path.join(out, "plans_3d.json"),
+        preprocess=not no_pp)
     for name, ds in datasets.items():
         keyed = {cid: ds[f"case_{i:03d}"] for i, cid in enumerate(ids)}
         PreprocessedDataset(cases=keyed).save(
@@ -776,7 +799,8 @@ def cmd_plan_experiment(args) -> str:
     with open(fp_path) as f:
         fp = json.load(f)
     lm, dataset_json = _label_manager(ds_dir)
-    plan = plan_experiment(fp, lm.num_segmentation_heads)
+    plan = plan_experiment(fp, lm.num_segmentation_heads,
+                           planner=_planner_kind(getattr(args, "pl", None)))
     plan.save(os.path.join(out, "plans.json"))
     with open(os.path.join(out, "dataset.json"), "w") as f:
         json.dump(dataset_json, f, indent=2)
@@ -1173,6 +1197,11 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--hbm_budget", type=int, default=None,
                     help="volumetric planning memory budget in bytes "
                          "(per-chip; the -gpu_memory_target analog)")
+    pp.add_argument("-pl", default="default",
+                    help="planner: default | resenc (reference planner "
+                         "class names like nnUNetPlannerResEncM accepted)")
+    pp.add_argument("--no_pp", action="store_true",
+                    help="plan only, skip preprocessing (reference --no_pp)")
     pp.set_defaults(fn=cmd_plan_and_preprocess)
 
     tr = sub.add_parser("train", help="train one fold (nnUNetv2_train)")
@@ -1242,6 +1271,9 @@ def build_parser() -> argparse.ArgumentParser:
                      ("preprocess", cmd_preprocess)):
         sp = sub.add_parser(name, help=f"nnUNetv2_{name} analog")
         common(sp)
+        if name == "plan_experiment":
+            sp.add_argument("-pl", default="default",
+                            help="planner: default | resenc")
         sp.set_defaults(fn=fn)
 
     ev = sub.add_parser("evaluate_folder",

@@ -255,11 +255,14 @@ def plan_all_configurations(fingerprint: Dict, num_classes: int,
 def plan_and_preprocess_3d(volumes, labels, num_classes: int,
                            spacings=None, planner: str = "default",
                            hbm_budget: int = HBM_BUDGET_BYTES,
-                           plans_path: Optional[str] = None):
+                           plans_path: Optional[str] = None,
+                           preprocess: bool = True):
     """The 3D plan-and-preprocess entry point (reference
     ``experiment_planning/plan_and_preprocess_api.py:18-138``):
     fingerprint → all 3D configurations → per-config preprocessed datasets
     (+ optional nnUNetPlans.json). Returns (configs, {name: dataset}).
+    ``preprocess=False`` plans only (the --no_pp flag) and returns empty
+    datasets.
 
     volumes: list of (Z, H, W, C) float arrays; labels: list of (Z, H, W).
     """
@@ -275,6 +278,8 @@ def plan_and_preprocess_3d(volumes, labels, num_classes: int,
     spacings = spacings or [(1.0, 1.0, 1.0)] * len(volumes)
     datasets = {}
     for name, plan in configs.items():
+        if not preprocess:
+            break
         if plan.previous_stage is not None:
             continue  # cascade stage consumes the lowres stage's output
         cases = {}

@@ -89,3 +89,18 @@ def test_volumetric_cli_all_three_configs(tmp_path):
         seg = np.load(os.path.join(out, "t0.npy"))
         assert seg.shape == (24, 48, 48), cfg
         assert set(np.unique(seg)) <= {0, 1}, cfg
+
+
+def test_volumetric_plan_no_pp_and_resenc(tmp_path):
+    """--no_pp plans all 3D configurations without building stores; -pl
+    resenc plans residual encoders for every 3D config."""
+    raw, pp, res, ds_dir = _make_raw_3d(tmp_path)
+    main(["plan_and_preprocess", "-d", str(DSID), "--hbm_budget", BUDGET,
+          "-pl", "resenc", "--no_pp", "--raw", raw, "--preprocessed", pp])
+    pp_dir = os.path.join(pp, f"Dataset{DSID}_Vol3D")
+    with open(os.path.join(pp_dir, "plans_3d.json")) as f:
+        plans = json.load(f)
+    assert {"3d_fullres", "3d_lowres"} <= set(plans["configurations"])
+    for cfg, c in plans["configurations"].items():
+        assert c["block_type"] == "residual", cfg
+    assert not os.path.isdir(os.path.join(pp_dir, "ldPlans_3d_fullres"))

@@ -395,3 +395,32 @@ def test_cli_predict_flag_parity(tmp_path):
               "--disable_tta", "--raw", raw, "--results", res])
     preds = [f for f in os.listdir(out) if f.endswith(".png")]
     assert len(preds) == n_inputs  # both parts together cover every case
+
+
+def test_cli_planner_selection_and_no_pp(tmp_path):
+    """-pl routes to the ResEnc planner (reference -pl nnUNetPlannerResEnc*)
+    and --no_pp plans without preprocessing (plan_and_preprocess_entrypoints
+    --no_pp)."""
+    raw, pp, res = _roots(tmp_path)
+    dataset_id = 9
+    ds_dir = os.path.join(raw, f"Dataset{dataset_id:03d}_Test")
+    generate_integration_test_dataset(ds_dir, n_cases=3, size=32,
+                                      num_classes=3)
+    main(["plan_and_preprocess", "-d", str(dataset_id),
+          "-pl", "nnUNetPlannerResEncM", "--no_pp",
+          "--raw", raw, "--preprocessed", pp])
+    pp_dir = os.path.join(pp, f"Dataset{dataset_id:03d}_Test")
+    plans = json.load(open(os.path.join(pp_dir, "plans.json")))
+    assert plans["block_type"] == "residual"
+    assert not os.path.isdir(os.path.join(pp_dir, "ldPlans_2d"))  # --no_pp
+
+    with pytest.raises(SystemExit):
+        main(["plan_and_preprocess", "-d", str(dataset_id), "-pl", "bogus",
+              "--raw", raw, "--preprocessed", pp])
+
+    # full run with the default planner still preprocesses
+    main(["plan_and_preprocess", "-d", str(dataset_id),
+          "--raw", raw, "--preprocessed", pp])
+    assert os.path.isdir(os.path.join(pp_dir, "ldPlans_2d"))
+    assert json.load(open(os.path.join(pp_dir, "plans.json")))[
+        "block_type"] == "plain"
