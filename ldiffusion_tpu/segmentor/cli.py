@@ -626,14 +626,16 @@ def _cmd_predict_volumetric(args) -> str:
         label_manager=lm, tile_step_size=getattr(args, "step_size", 0.5))
 
     prev_predictor = prev_plan = None
-    if args.c == "3d_cascade_fullres":
+    if args.c == "3d_cascade_fullres" and \
+            not getattr(args, "prev_stage_predictions", None):
         low_dir = _results_config_dir(results_root, ds_name, args.tr,
                                       "3d_lowres",
                                       plans_name=getattr(args, "p", None)
                                       or "ldPlans")
         if not os.path.isdir(low_dir):
             raise SystemExit(f"cascade prediction requires the trained "
-                             f"3d_lowres stage ({low_dir} missing)")
+                             f"3d_lowres stage ({low_dir} missing) or an "
+                             f"explicit -prev_stage_predictions folder")
         prev_plan = SegPlan3D.load(os.path.join(low_dir, "plans.json"))
         prev_predictor = SlidingWindowPredictor.from_checkpoints(
             prev_plan, find_fold_checkpoints(low_dir, folds=args.f),
@@ -669,12 +671,26 @@ def _cmd_predict_volumetric(args) -> str:
         # predictor does not re-normalize (which would distort post-resample
         # statistics and, for the cascade, crush the {0,1} one-hot channels)
         grid = _to_grid(vol_n, spacing, plan.spacing)
-        if prev_predictor is not None:
-            low = _to_grid(vol_n, spacing, prev_plan.spacing)
-            seg_low = np.asarray(prev_predictor.predict(low, normalize=False))
+        if args.c == "3d_cascade_fullres":
+            prev_dir = getattr(args, "prev_stage_predictions", None)
+            if prev_dir:
+                # -prev_stage_predictions: consume an existing lowres
+                # prediction folder (reference predict_from_raw_data.py:
+                # 676-727) instead of running the lowres stage inline
+                pf = os.path.join(prev_dir, f"{case}{ending}")
+                if not os.path.exists(pf):
+                    raise SystemExit(f"-prev_stage_predictions: {pf} missing")
+                seg_low, _ = rw.read_seg(pf)
+                seg_low = seg_low[0].astype(np.int32)
+                low_spacing = spacing  # stored on the raw grid
+            else:
+                low = _to_grid(vol_n, spacing, prev_plan.spacing)
+                seg_low = np.asarray(prev_predictor.predict(low,
+                                                            normalize=False))
+                low_spacing = prev_plan.spacing
             if tuple(seg_low.shape) != tuple(grid.shape[:3]):
                 seg_low = resample_data_3d(seg_low, grid.shape[:3],
-                                           prev_plan.spacing, is_seg=True)
+                                           low_spacing, is_seg=True)
             onehot = np.eye(plan.num_classes,
                             dtype=np.float32)[np.maximum(seg_low, 0)][..., 1:]
             grid = np.concatenate([grid, onehot], axis=-1)
@@ -844,16 +860,41 @@ def _load_seg_folder(folder):
 
 
 def cmd_evaluate_folder(args):
-    """Region-aware folder evaluation (reference
-    ``evaluate_predictions.py:evaluate_simple_entry_point``)."""
+    """Region-aware folder evaluation — both reference entry points
+    (``evaluate_predictions.py:222-232``): ``-djfile dataset.json`` derives
+    labels/regions + ignore label through the label manager
+    (nnUNetv2_evaluate_folder), else ``-l`` lists them explicitly
+    (nnUNetv2_evaluate_simple)."""
     from ldiffusion_tpu.evaluate import compute_metrics_on_folder
 
-    labels = [int(x) for x in args.l]
+    ignore = args.il
+    if getattr(args, "djfile", None):
+        from ldiffusion_tpu.segmentor.label_manager import (
+            label_manager_from_dataset_json,
+        )
+
+        with open(args.djfile) as f:
+            dj = json.load(f)
+        dj["labels"] = {k: tuple(v) if isinstance(v, list) else v
+                        for k, v in dj["labels"].items()}
+        lm = label_manager_from_dataset_json(dj)
+        labels = lm.labels_or_regions_for_eval
+        if ignore is None and lm.has_ignore_label:
+            ignore = lm.ignore_label
+        flat = [v for entry in labels
+                for v in (entry if isinstance(entry, (tuple, list))
+                          else (entry,))]
+    elif args.l:
+        labels = [int(x) for x in args.l]
+        flat = labels
+    else:
+        raise SystemExit("evaluate_folder needs -l labels or -djfile "
+                         "dataset.json")
     summary = compute_metrics_on_folder(
         args.pred_folder, args.gt_folder,
-        num_classes=max(labels) + 1,
+        num_classes=int(max(flat)) + 1,
         output_file=args.o or os.path.join(args.pred_folder, "summary.json"),
-        regions_or_labels=labels, ignore_label=args.il)
+        regions_or_labels=labels, ignore_label=ignore)
     print(f"foreground mean Dice {summary['foreground_mean']['Dice']:.4f}")
     return summary
 
@@ -1258,6 +1299,10 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("-part_id", type=int, default=0,
                     help="which part this invocation predicts "
                          "(files[part_id::num_parts])")
+    pr.add_argument("-prev_stage_predictions", default=None,
+                    help="3d_cascade_fullres: folder of lowres-stage "
+                         "segmentations (one per case, same ending); "
+                         "default runs the trained lowres stage inline")
     pr.add_argument("--save_probabilities", action="store_true")
     pr.add_argument("--continue_prediction", action="store_true")
     pr.add_argument("--disable_tta", action="store_true")
@@ -1280,7 +1325,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="region-aware folder metrics (nnUNetv2_evaluate_simple)")
     ev.add_argument("gt_folder")
     ev.add_argument("pred_folder")
-    ev.add_argument("-l", nargs="+", required=True, help="labels to score")
+    ev.add_argument("-l", nargs="+", default=None, help="labels to score")
+    ev.add_argument("-djfile", default=None,
+                    help="dataset.json: labels/regions + ignore label come "
+                         "from the label manager (nnUNetv2_evaluate_folder)")
     ev.add_argument("-il", type=int, default=None, help="ignore label")
     ev.add_argument("-o", default=None)
     ev.set_defaults(fn=cmd_evaluate_folder)

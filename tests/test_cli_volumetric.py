@@ -90,6 +90,29 @@ def test_volumetric_cli_all_three_configs(tmp_path):
         assert seg.shape == (24, 48, 48), cfg
         assert set(np.unique(seg)) <= {0, 1}, cfg
 
+    # -prev_stage_predictions: cascade consumes an explicit lowres folder
+    # (reference predict_from_raw_data.py:676-727) instead of running the
+    # lowres stage — feed it the lowres predictions from above
+    out = str(tmp_path / "preds_cascade_prevdir")
+    main(["predict", "-i", os.path.join(ds_dir, "imagesTs"), "-o", out,
+          "-d", str(DSID), "-c", "3d_cascade_fullres", "-f", "0",
+          "-prev_stage_predictions", str(tmp_path / "preds_3d_lowres"),
+          "--disable_tta", "--raw", raw, "--results", res])
+    seg = np.load(os.path.join(out, "t0.npy"))
+    assert seg.shape == (24, 48, 48)
+    # inline-lowres and explicit-folder cascade agree (both consume the same
+    # lowres segmentation; resample metadata may flip a few edge voxels)
+    inline = np.load(os.path.join(str(tmp_path / "preds_3d_cascade_fullres"),
+                                  "t0.npy"))
+    assert (seg == inline).mean() > 0.95
+    # missing case in the folder fails loudly
+    with pytest.raises(SystemExit, match="prev_stage_predictions"):
+        main(["predict", "-i", os.path.join(ds_dir, "imagesTs"),
+              "-o", str(tmp_path / "x"), "-d", str(DSID),
+              "-c", "3d_cascade_fullres", "-f", "0",
+              "-prev_stage_predictions", str(tmp_path / "empty_prev"),
+              "--disable_tta", "--raw", raw, "--results", res])
+
 
 def test_volumetric_plan_no_pp_and_resenc(tmp_path):
     """--no_pp plans all 3D configurations without building stores; -pl

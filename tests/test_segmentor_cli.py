@@ -424,3 +424,32 @@ def test_cli_planner_selection_and_no_pp(tmp_path):
     assert os.path.isdir(os.path.join(pp_dir, "ldPlans_2d"))
     assert json.load(open(os.path.join(pp_dir, "plans.json")))[
         "block_type"] == "plain"
+
+
+def test_cli_evaluate_folder_djfile(tmp_path):
+    """-djfile derives labels/regions + ignore label from dataset.json
+    (nnUNetv2_evaluate_folder, reference evaluate_predictions.py:222-232)."""
+    from PIL import Image
+
+    gt = tmp_path / "gt"
+    pred = tmp_path / "pred"
+    gt.mkdir()
+    pred.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        g = rng.integers(0, 3, (16, 16)).astype(np.uint8)
+        p = g.copy()
+        p[:4] = 0  # some disagreement
+        Image.fromarray(g).save(gt / f"c{i}.png")
+        Image.fromarray(p).save(pred / f"c{i}.png")
+    dj = tmp_path / "dataset.json"
+    json.dump({"channel_names": {"0": "x"},
+               "labels": {"background": 0, "a": 1, "b": 2},
+               "numTraining": 2, "file_ending": ".png"}, open(dj, "w"))
+    summary = main(["evaluate_folder", str(gt), str(pred),
+                    "-djfile", str(dj), "-o", str(tmp_path / "s.json")])
+    assert os.path.exists(tmp_path / "s.json")
+    assert 0 < summary["foreground_mean"]["Dice"] < 1
+    # neither -l nor -djfile → loud error
+    with pytest.raises(SystemExit):
+        main(["evaluate_folder", str(gt), str(pred)])
