@@ -255,7 +255,10 @@ def cmd_plan_and_preprocess(args) -> str:
         verify_dataset_integrity,
     )
     from ldiffusion_tpu.segmentor.planner import plan_experiment
-    from ldiffusion_tpu.segmentor.preprocess import PreprocessedDataset
+    from ldiffusion_tpu.segmentor.preprocess import (
+        PreprocessedDataset,
+        get_preprocessor,
+    )
 
     raw_root = _require(args.raw or env_paths.raw_dir(warn=False),
                         "--raw", "LDIFFUSION_RAW")
@@ -263,11 +266,30 @@ def cmd_plan_and_preprocess(args) -> str:
                        "--preprocessed", "LDIFFUSION_PREPROCESSED")
     ds_dir = find_dataset_dir(raw_root, args.d)
     lm, dataset_json = _label_manager(ds_dir)
+    try:
+        preprocessor = get_preprocessor(
+            getattr(args, "preprocessor_name", None))
+    except KeyError as e:
+        raise SystemExit(str(e))
+    plans_name = getattr(args, "overwrite_plans_name", None) or "ldPlans"
+    spacing_override = getattr(args, "overwrite_target_spacing", None)
+    if spacing_override is not None and len(spacing_override) != 3:
+        raise SystemExit("-overwrite_target_spacing must be three numbers "
+                         "(z y x) — reference "
+                         "plan_and_preprocess_entrypoints.py:54-62")
     if _is_volumetric_dataset(dataset_json):
         return _plan_and_preprocess_volumetric(
             ds_dir, pp_root, lm, dataset_json, hbm_budget=args.hbm_budget,
             planner=_planner_kind(getattr(args, "pl", None)),
-            no_pp=bool(getattr(args, "no_pp", False)))
+            no_pp=bool(getattr(args, "no_pp", False)),
+            target_spacing=spacing_override, preprocessor=preprocessor,
+            plans_name=plans_name)
+    if spacing_override is not None:
+        raise SystemExit("-overwrite_target_spacing only applies to the 3D "
+                         "configurations (reference help: 'Changing the "
+                         "target spacing for the other configurations is "
+                         "currently not implemented') — dataset "
+                         f"{args.d} is 2D")
     ids, images, labels = load_png_cases(ds_dir, "Tr")
     if not ids:
         raise SystemExit(f"no training cases under {ds_dir}/imagesTr")
@@ -286,7 +308,8 @@ def cmd_plan_and_preprocess(args) -> str:
                            planner=_planner_kind(getattr(args, "pl", None)))
     out = _pp_dataset_dir(pp_root, ds_dir)
     os.makedirs(out, exist_ok=True)
-    plan.save(os.path.join(out, "plans.json"))
+    plan.save(os.path.join(
+        out, "plans.json" if plans_name == "ldPlans" else f"{plans_name}.json"))
     with open(os.path.join(out, "dataset.json"), "w") as f:
         json.dump(dataset_json, f, indent=2)
     if getattr(args, "no_pp", False):
@@ -294,7 +317,7 @@ def cmd_plan_and_preprocess(args) -> str:
         return out
     # per-case npz store (the unpacked analog of nnUNet's npz+pkl pairs)
     PreprocessedDataset.build(images, labels, _max_label_value(lm) + 1,
-                              case_ids=ids,
+                              case_ids=ids, preprocessor=preprocessor,
                               directory=os.path.join(out, "ldPlans_2d"))
     print(f"plans + preprocessed data written to {out}")
     return out
@@ -303,7 +326,10 @@ def cmd_plan_and_preprocess(args) -> str:
 def _plan_and_preprocess_volumetric(ds_dir: str, pp_root: str, lm,
                                     dataset_json, hbm_budget=None,
                                     planner: str = "default",
-                                    no_pp: bool = False) -> str:
+                                    no_pp: bool = False,
+                                    target_spacing=None,
+                                    preprocessor=None,
+                                    plans_name: str = "ldPlans") -> str:
     """Volumetric plan-and-preprocess: fingerprint → ALL 3D configurations
     (3d_fullres always; 3d_lowres + 3d_cascade_fullres for large volumes) →
     per-config preprocessed stores + a multi-config plans file (reference
@@ -322,11 +348,14 @@ def _plan_and_preprocess_volumetric(ds_dir: str, pp_root: str, lm,
         raise SystemExit(f"no volumetric training cases under {ds_dir}/imagesTr")
     out = _pp_dataset_dir(pp_root, ds_dir)
     os.makedirs(out, exist_ok=True)
+    plans_file = ("plans_3d.json" if plans_name == "ldPlans"
+                  else f"{plans_name}_3d.json")
     configs, datasets = plan_and_preprocess_3d(
         vols, labs, lm.num_segmentation_heads, spacings=spacings,
         planner=planner, hbm_budget=hbm_budget or HBM_BUDGET_BYTES,
-        plans_path=os.path.join(out, "plans_3d.json"),
-        preprocess=not no_pp)
+        plans_path=os.path.join(out, plans_file),
+        preprocess=not no_pp, target_spacing=target_spacing,
+        preprocessor=preprocessor)
     for name, ds in datasets.items():
         keyed = {cid: ds[f"case_{i:03d}"] for i, cid in enumerate(ids)}
         PreprocessedDataset(cases=keyed).save(
@@ -682,15 +711,24 @@ def _cmd_predict_volumetric(args) -> str:
                     raise SystemExit(f"-prev_stage_predictions: {pf} missing")
                 seg_low, _ = rw.read_seg(pf)
                 seg_low = seg_low[0].astype(np.int32)
-                low_spacing = spacing  # stored on the raw grid
             else:
+                # inline lowres stage: reproduce EXACTLY what `predict -c
+                # 3d_lowres` writes to disk (predict on the lowres grid,
+                # resample the seg to the raw grid, uint8) so the inline and
+                # -prev_stage_predictions routes are bit-identical (reference
+                # semantics: the cascade always consumes raw-grid lowres
+                # segmentations, predict_from_raw_data.py:676-727)
                 low = _to_grid(vol_n, spacing, prev_plan.spacing)
                 seg_low = np.asarray(prev_predictor.predict(low,
                                                             normalize=False))
-                low_spacing = prev_plan.spacing
+                if tuple(seg_low.shape) != tuple(vol.shape[:3]):
+                    seg_low = resample_data_3d(seg_low, vol.shape[:3],
+                                               prev_plan.spacing, is_seg=True)
+                seg_low = seg_low.astype(np.uint8).astype(np.int32)
+            # raw grid → fullres grid (both routes, same resample)
             if tuple(seg_low.shape) != tuple(grid.shape[:3]):
                 seg_low = resample_data_3d(seg_low, grid.shape[:3],
-                                           low_spacing, is_seg=True)
+                                           spacing, is_seg=True)
             onehot = np.eye(plan.num_classes,
                             dtype=np.float32)[np.maximum(seg_low, 0)][..., 1:]
             grid = np.concatenate([grid, onehot], axis=-1)
@@ -1243,6 +1281,19 @@ def build_parser() -> argparse.ArgumentParser:
                          "class names like nnUNetPlannerResEncM accepted)")
     pp.add_argument("--no_pp", action="store_true",
                     help="plan only, skip preprocessing (reference --no_pp)")
+    pp.add_argument("-overwrite_target_spacing", nargs="+", type=float,
+                    default=None,
+                    help="custom target spacing (z y x) for the 3d_fullres/"
+                         "3d_cascade_fullres configurations (reference "
+                         "-overwrite_target_spacing)")
+    pp.add_argument("-preprocessor_name", default=None,
+                    help="custom preprocessor class (registered via "
+                         "@register('preprocessor') or found in "
+                         "ldiffusion_tpu.segmentor; default "
+                         "DefaultPreprocessor)")
+    pp.add_argument("-overwrite_plans_name", default=None,
+                    help="write plans under a custom identifier (consume "
+                         "with -p NAME in train/predict)")
     pp.set_defaults(fn=cmd_plan_and_preprocess)
 
     tr = sub.add_parser("train", help="train one fold (nnUNetv2_train)")

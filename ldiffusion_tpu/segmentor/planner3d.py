@@ -223,12 +223,21 @@ def plan_experiment_3d(fingerprint: Dict, num_classes: int,
 
 def plan_all_configurations(fingerprint: Dict, num_classes: int,
                             hbm_budget: int = HBM_BUDGET_BYTES,
-                            planner: str = "default") -> Dict[str, SegPlan3D]:
+                            planner: str = "default",
+                            target_spacing=None) -> Dict[str, SegPlan3D]:
     """All 3D configs for a dataset (reference ``plan_experiment`` emitting
     ``3d_fullres`` always and ``3d_lowres``+``3d_cascade_fullres`` when the
-    fullres patch covers < 1/4 of the median volume)."""
+    fullres patch covers < 1/4 of the median volume).
+
+    ``target_spacing``: the ``-overwrite_target_spacing`` override (reference
+    ``plan_and_preprocess_entrypoints.py:54-62`` →
+    ``determine_fullres_target_spacing`` short-circuit): replaces the
+    fingerprint-derived fullres spacing; the lowres spacing is then derived
+    from it, and the cascade shares the fullres plan, exactly as in the
+    reference."""
     fullres = plan_experiment_3d(fingerprint, num_classes, hbm_budget,
-                                 planner=planner)
+                                 planner=planner,
+                                 spacing_override=target_spacing)
     configs = {"3d_fullres": fullres}
     median_vol = float(np.prod(fullres.median_shape))
     patch_vol = float(np.prod(fullres.patch_size))
@@ -256,7 +265,9 @@ def plan_and_preprocess_3d(volumes, labels, num_classes: int,
                            spacings=None, planner: str = "default",
                            hbm_budget: int = HBM_BUDGET_BYTES,
                            plans_path: Optional[str] = None,
-                           preprocess: bool = True):
+                           preprocess: bool = True,
+                           target_spacing=None,
+                           preprocessor=None):
     """The 3D plan-and-preprocess entry point (reference
     ``experiment_planning/plan_and_preprocess_api.py:18-138``):
     fingerprint → all 3D configurations → per-config preprocessed datasets
@@ -267,15 +278,17 @@ def plan_and_preprocess_3d(volumes, labels, num_classes: int,
     volumes: list of (Z, H, W, C) float arrays; labels: list of (Z, H, W).
     """
     from ldiffusion_tpu.segmentor.fingerprint import extract_fingerprint_3d
-    from ldiffusion_tpu.segmentor.preprocess import (
-        PreprocessedDataset,
-        preprocess_case_3d,
-    )
+    from ldiffusion_tpu.segmentor.preprocess import PreprocessedDataset
 
     fp = extract_fingerprint_3d(volumes, labels, spacings=spacings)
     configs = plan_all_configurations(fp, num_classes, hbm_budget,
-                                      planner=planner)
+                                      planner=planner,
+                                      target_spacing=target_spacing)
     spacings = spacings or [(1.0, 1.0, 1.0)] * len(volumes)
+    if preprocessor is None:
+        from ldiffusion_tpu.segmentor.preprocess import DefaultPreprocessor
+
+        preprocessor = DefaultPreprocessor()
     datasets = {}
     for name, plan in configs.items():
         if not preprocess:
@@ -284,7 +297,7 @@ def plan_and_preprocess_3d(volumes, labels, num_classes: int,
             continue  # cascade stage consumes the lowres stage's output
         cases = {}
         for i, (vol, lab) in enumerate(zip(volumes, labels)):
-            cases[f"case_{i:03d}"] = preprocess_case_3d(
+            cases[f"case_{i:03d}"] = preprocessor.run_case_3d(
                 vol, lab, num_classes, spacing=spacings[i],
                 target_spacing=plan.spacing)
         datasets[name] = PreprocessedDataset(cases=cases)

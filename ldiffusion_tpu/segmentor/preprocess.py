@@ -21,6 +21,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
+from ldiffusion_tpu.core.registry import find_class, register
 from ldiffusion_tpu.segmentor.fingerprint import crop_to_nonzero_bbox
 
 FG_LOCS_PER_CLASS = 10_000
@@ -155,6 +156,41 @@ def preprocess_case_3d(image: np.ndarray, seg: np.ndarray, num_classes: int,
     return PreprocessedCase(data=data, seg=seg, properties=props)
 
 
+class DefaultPreprocessor:
+    """The ``-preprocessor_name`` plugin point (reference
+    ``plan_and_preprocess_entrypoints.py:49-53`` resolves a preprocessor
+    class by name from ``nnunetv2.preprocessing`` via
+    ``recursive_find_python_class``). Subclass and
+    ``@register("preprocessor")`` to customize per-case preprocessing;
+    ``get_preprocessor(name)`` resolves names, raising on unknown ones."""
+
+    def run_case(self, image: np.ndarray, seg: np.ndarray, num_classes: int,
+                 seed: int = 1234) -> PreprocessedCase:
+        return preprocess_case(image, seg, num_classes, seed=seed)
+
+    def run_case_3d(self, image: np.ndarray, seg: np.ndarray,
+                    num_classes: int,
+                    spacing: Sequence[float] = (1.0, 1.0, 1.0),
+                    target_spacing: Optional[Sequence[float]] = None,
+                    seed: int = 1234) -> PreprocessedCase:
+        return preprocess_case_3d(image, seg, num_classes, spacing=spacing,
+                                  target_spacing=target_spacing, seed=seed)
+
+
+register("preprocessor")(DefaultPreprocessor)
+
+
+def get_preprocessor(name: Optional[str]) -> DefaultPreprocessor:
+    """Resolve ``-preprocessor_name`` → instance (registry first, then a
+    module walk over ``ldiffusion_tpu.segmentor`` — the
+    ``recursive_find_python_class`` analog). Unknown names raise KeyError."""
+    if not name:
+        return DefaultPreprocessor()
+    cls = find_class("preprocessor", name,
+                     search_modules=["ldiffusion_tpu.segmentor"])
+    return cls()
+
+
 def append_prev_stage_channels(case: PreprocessedCase, prev_seg: np.ndarray,
                                num_classes: int) -> PreprocessedCase:
     """Cascade stage-2 input: the previous stage's (resampled) segmentation
@@ -185,11 +221,14 @@ class PreprocessedDataset:
     @classmethod
     def build(cls, images: Sequence[np.ndarray], segs: Sequence[np.ndarray],
               num_classes: int, case_ids: Optional[Sequence[str]] = None,
-              directory: Optional[str] = None) -> "PreprocessedDataset":
+              directory: Optional[str] = None,
+              preprocessor: Optional["DefaultPreprocessor"] = None,
+              ) -> "PreprocessedDataset":
         case_ids = case_ids or [f"case_{i:03d}" for i in range(len(images))]
+        preprocessor = preprocessor or DefaultPreprocessor()
         ds = cls(directory=directory)
         for cid, img, seg in zip(case_ids, images, segs):
-            ds.cases[cid] = preprocess_case(img, seg, num_classes)
+            ds.cases[cid] = preprocessor.run_case(img, seg, num_classes)
         if directory:
             ds.save(directory)
         return ds
