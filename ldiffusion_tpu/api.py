@@ -310,6 +310,41 @@ class LDiffusionModel:
         pil_out = Image.fromarray((np.clip(out, 0, 1) * 255).astype(np.uint8))
         return pil_out, out
 
+    def _make_fused_predict(self, predictor):
+        """One-XLA-program tissue inference for square images: 1-step
+        diffusion transform → z-score → sliding-window → uint8 seg, fused in
+        a single dispatch (the reference moves the image host↔GPU between
+        segmentor.py:388-488's transform and predict stages; over the
+        tunneled chip those transfers dominated the wall-clock, BASELINE r5).
+        Returns ``run(img_norm, want_transformed)``; results are device
+        arrays — dispatch is async, so callers can pipeline images and sync
+        (np.asarray) later."""
+        import jax
+        import jax.numpy as jnp
+
+        from ldiffusion_tpu.diffusion.pipeline import (
+            one_step_transform,
+            trajectory_text_emb,
+        )
+
+        comps = self._components
+        emb = trajectory_text_emb(comps, comps.params, 1)
+        cache = {}
+
+        def run(img_norm: np.ndarray, want_transformed: bool):
+            key = (img_norm.shape, want_transformed)
+            if key not in cache:
+                def f(sd_params, seg_params, im):
+                    t = one_step_transform(comps, sd_params, im[None], emb)[0]
+                    seg = predictor.traced_seg(seg_params, t, normalize=True)
+                    return (t, seg) if want_transformed else seg
+
+                cache[key] = jax.jit(f)
+            return cache[key](comps.params, tuple(predictor.params_list),
+                              jnp.asarray(img_norm))
+
+        return run
+
     @staticmethod
     def _find_fold_checkpoints(segmentor_weight: str):
         """Checkpoint paths for inference: every trained ``fold_*`` dir
@@ -341,32 +376,64 @@ class LDiffusionModel:
                 pp_steps = load_postprocessing(pp_path)
                 break
 
+        from ldiffusion_tpu.data.dataset import load_image
+
+        fused = self._make_fused_predict(predictor)
+        size = 1024 if not self.diffusion_path.startswith("random:") else 64
+
+        def finish(mask) -> np.ndarray:
+            mask = np.asarray(mask)  # device sync for fused results
+            if pp_steps:
+                from ldiffusion_tpu.segmentor.postprocess import apply_postprocessing
+                mask = apply_postprocessing(mask, pp_steps)
+            return mask
+
         if os.path.isdir(image_path):
-            # batch mode (reference segmentor.py:399-419)
+            # batch mode (reference segmentor.py:399-419). Square images go
+            # through the fused single-dispatch path; dispatch is async, so
+            # up to 3 images are in flight while earlier masks postprocess
+            # and write on the host.
             if not output_path:
                 raise ValueError("When image_path is a folder, output_path must"
                                  " be specified!")
             os.makedirs(output_path, exist_ok=True)
+            pending = []  # (out_png, device-or-host mask)
             for fn in sorted(os.listdir(image_path)):
                 out_png = os.path.join(output_path, os.path.splitext(fn)[0] + ".png")
                 if not overwrite and os.path.exists(out_png):
                     # --continue_prediction semantics (reference
                     # predict_from_raw_data.py:187-198): skip existing outputs
                     continue
-                decoded, arr = self._transform_single(os.path.join(image_path, fn))
-                mask = predictor.predict(arr.astype(np.float32))
-                if pp_steps:
-                    from ldiffusion_tpu.segmentor.postprocess import apply_postprocessing
-                    mask = apply_postprocessing(mask, pp_steps)
-                Image.fromarray(mask).save(out_png)
+                path = os.path.join(image_path, fn)
+                with Image.open(path) as probe:
+                    w, h = probe.size
+                if w == h:
+                    mask = fused(load_image(path, (size, size)),
+                                 want_transformed=False)
+                else:
+                    # non-square skips the diffusion transform
+                    # (reference segmentor.py:449-450)
+                    _, arr = self._transform_single(path)
+                    mask = predictor.predict(arr.astype(np.float32))
+                pending.append((out_png, mask))
+                if len(pending) >= 3:
+                    png, m = pending.pop(0)
+                    Image.fromarray(finish(m)).save(png)
+            for png, m in pending:
+                Image.fromarray(finish(m)).save(png)
             return None, None
 
-        decoded, arr = self._transform_single(image_path)
-        mask = predictor.predict(arr.astype(np.float32))
-        if pp_steps:
-            from ldiffusion_tpu.segmentor.postprocess import apply_postprocessing
-            mask = apply_postprocessing(mask, pp_steps)
-        return decoded, mask
+        with Image.open(image_path) as probe:
+            w, h = probe.size
+        if w == h:
+            t, mask = fused(load_image(image_path, (size, size)),
+                            want_transformed=True)
+            decoded = Image.fromarray(
+                (np.clip(np.asarray(t), 0, 1) * 255).astype(np.uint8))
+        else:
+            decoded, arr = self._transform_single(image_path)
+            mask = predictor.predict(arr.astype(np.float32))
+        return decoded, finish(mask)
 
     def inference_cell(self, image_path, ldiffusion_weight, segmentor_weight,
                        num_classes):

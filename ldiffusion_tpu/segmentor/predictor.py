@@ -188,18 +188,40 @@ class SlidingWindowPredictor:
             logits = logits / (len(combos) + 1.0)
         return logits
 
-    def _build_predict(self, padded_shape: Tuple[int, ...], positions: np.ndarray):
+    def _device_seg(self, logits):
+        """Traced logits → uint8 segmentation ON DEVICE (reference
+        ``label_handling.py:128-176`` semantics). Keeping this inside the
+        jitted program means only spatial×uint8 bytes cross the
+        device→host link instead of spatial×classes×f32 — on the tunneled
+        chip that transfer dominated the whole predict stage (BASELINE r5)."""
+        lm = self.label_manager
+        if lm is None:
+            return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+        if lm.has_regions:
+            # sigmoid(x) > 0.5 ⇔ x > 0: paint in regions_class_order
+            seg = jnp.zeros(logits.shape[:-1], jnp.uint8)
+            for i, cls in enumerate(lm.regions_class_order):
+                seg = jnp.where(logits[..., i] > 0, jnp.uint8(cls), seg)
+            return seg
+        # softmax is monotonic per-pixel: argmax of logits == argmax of probs
+        labels = jnp.asarray(sorted(lm._plain), jnp.uint8)
+        return labels[jnp.argmax(logits, axis=-1)]
+
+    def _traced_ensembled(self, params_list, image, positions: np.ndarray):
+        """TRACED: padded/normalized (*spatial, C) image → fold-averaged
+        blended logits. Ensembling averages logits ON DEVICE in the same
+        dispatch (reference ``predict_from_raw_data.py:459-494`` averaged
+        on host per fold)."""
         patch = tuple(self.plan.patch_size)
         c = self.plan.num_classes
+        padded_shape = tuple(image.shape[: self.nd])
         gauss = jnp.asarray(
             gaussian_importance_map(patch) if self.use_gaussian
             else np.ones(patch, np.float32)
         )
-        pos = jnp.asarray(positions, jnp.int32)  # (T, nd)
+        pos = jnp.asarray(np.asarray(positions, np.int32))  # (T, nd)
 
-        @jax.jit
-        def predict(params, image):
-            """image: (*spatial, C) padded/normalized."""
+        def blended(params):
             acc = jnp.zeros(padded_shape + (c,), jnp.float32)
             wacc = jnp.zeros(padded_shape + (1,), jnp.float32)
 
@@ -220,12 +242,57 @@ class SlidingWindowPredictor:
             (acc, wacc), _ = jax.lax.scan(body, (acc, wacc), pos)
             return acc / wacc
 
+        out = blended(params_list[0])
+        for p in params_list[1:]:
+            out = out + blended(p)
+        return out / len(params_list)
+
+    def traced_seg(self, params_list, image, normalize: bool = True):
+        """TRACED (jit-composable): unpadded (*spatial, C) image → uint8
+        segmentation, entirely on device. Lets callers FUSE upstream device
+        work (e.g. the 1-step diffusion transform) with sliding-window
+        prediction in one XLA program — one upload, a uint8 download, no
+        intermediate host roundtrips (the reference's pipeline moves the
+        image host↔GPU between every stage, ``segmentor.py:388-488``)."""
+        import itertools
+
+        nd = self.nd
+        shape = tuple(image.shape[:nd])
+        if normalize:
+            axes = tuple(range(nd))
+            mean = image.mean(axis=axes, keepdims=True)
+            std = image.std(axis=axes, keepdims=True)
+            image = ((image - mean) / jnp.maximum(std, 1e-8)).astype(jnp.float32)
+        else:
+            image = image.astype(jnp.float32)
+        patch = tuple(self.plan.patch_size)
+        pads = [max(0, p - s) for p, s in zip(patch, shape)]
+        if any(pads):
+            image = jnp.pad(image, [(0, p) for p in pads] + [(0, 0)])
+        padded = tuple(image.shape[:nd])
+        steps = [compute_steps(padded[i], patch[i], self.tile_step_size)
+                 for i in range(nd)]
+        positions = np.array(list(itertools.product(*steps)), np.int32)
+        logits = self._traced_ensembled(tuple(params_list), image, positions)
+        logits = logits[tuple(slice(0, s) for s in shape)]
+        return self._device_seg(logits)
+
+    def _build_predict(self, padded_shape: Tuple[int, ...], positions: np.ndarray,
+                       mode: str = "logits", crop: Tuple[int, ...] = ()):
+        @jax.jit
+        def predict(params_list, image):
+            out = self._traced_ensembled(params_list, image, positions)
+            if mode == "seg":
+                out = out[tuple(slice(0, s) for s in crop)]
+                return self._device_seg(out)
+            return out
+
         return predict
 
     # -- public -------------------------------------------------------------
-    def predict_logits(self, image: np.ndarray, normalize: bool = True) -> np.ndarray:
-        """image: (*spatial, C) float → (*spatial, num_classes) blended
-        logits (2D or 3D, by plan rank)."""
+    def _run(self, image: np.ndarray, normalize: bool, mode: str):
+        """Shared pad/tile/dispatch: one jitted program per (padded shape,
+        tile count, mode) bucket, all folds in the single dispatch."""
         import itertools
 
         nd = self.nd
@@ -240,27 +307,28 @@ class SlidingWindowPredictor:
         steps = [compute_steps(padded[i], patch[i], self.tile_step_size)
                  for i in range(nd)]
         positions = np.array(list(itertools.product(*steps)), np.int32)
-        cache_key = (padded, len(positions))
+        cache_key = (padded, len(positions), mode, shape if mode == "seg" else ())
         if cache_key not in self._predict_cache:
-            self._predict_cache[cache_key] = self._build_predict(tuple(padded),
-                                                                 positions)
+            self._predict_cache[cache_key] = self._build_predict(
+                tuple(padded), positions, mode=mode, crop=shape)
         predict = self._predict_cache[cache_key]
-        out = None
-        for params in self.params_list:  # fold ensembling: average logits
-            logits = np.asarray(predict(params, jnp.asarray(image)))
-            out = logits if out is None else out + logits
-        out = out / len(self.params_list)
+        out = np.asarray(predict(tuple(self.params_list), jnp.asarray(image)))
+        if mode == "seg":
+            return out
         return out[tuple(slice(0, s) for s in shape)]
+
+    def predict_logits(self, image: np.ndarray, normalize: bool = True) -> np.ndarray:
+        """image: (*spatial, C) float → (*spatial, num_classes) blended
+        logits (2D or 3D, by plan rank)."""
+        return self._run(image, normalize, "logits")
 
     def predict(self, image: np.ndarray, normalize: bool = True) -> np.ndarray:
         """→ (*spatial) segmentation. With a label manager this applies the
         regime's inference nonlin + conversion (regions paint in
-        regions_class_order where sigmoid > 0.5; plain maps argmax through
-        label VALUES); without one it is plain argmax."""
-        logits = self.predict_logits(image, normalize)
-        if self.label_manager is not None:
-            return self.label_manager.convert_logits_to_segmentation(logits)
-        return np.argmax(logits, axis=-1).astype(np.uint8)
+        regions_class_order where sigmoid > 0.5 ⇔ logit > 0; plain maps
+        argmax through label VALUES); without one it is plain argmax.
+        The conversion runs ON DEVICE so only uint8 crosses device→host."""
+        return self._run(image, normalize, "seg")
 
     def predict_probabilities(self, image: np.ndarray,
                               normalize: bool = True) -> np.ndarray:

@@ -195,3 +195,61 @@ def test_predictor_fold_ensembling():
     ens = SlidingWindowPredictor(plan, [p1, p2], dtype=jnp.float32,
                                  use_mirroring=False).predict_logits(images[0])
     assert not np.allclose(single, ens)
+
+
+def test_device_seg_matches_host_conversion():
+    """predict()'s on-device label conversion must reproduce the host
+    logits→LabelManager path exactly (plain, regions, and no-manager
+    regimes) — it exists only to shrink the device→host transfer."""
+    import dataclasses
+
+    from ldiffusion_tpu.segmentor.label_manager import LabelManager
+
+    images, labels = _synth_dataset(n=1, size=48)
+    fp = extract_fingerprint(images, labels)
+    plan = plan_experiment(fp, num_classes=4)
+    plan = dataclasses.replace(plan, patch_size=(32, 32), batch_size=2,
+                               features_per_stage=(8, 16), strides=(1, 2))
+    from ldiffusion_tpu.models.dynunet import DynUNet
+
+    net = DynUNet(plan.network_config())
+    params = net.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))["params"]
+    managers = [
+        None,
+        LabelManager({"background": 0, "a": 3, "b": 5, "c": 7}),  # plain, mapped values
+        LabelManager({"background": 0, "whole": (1, 2), "core": (2,), "x": (3,)},
+                     regions_class_order=(1, 2, 3)),  # regions painting
+    ]
+    for lm in managers:
+        pred = SlidingWindowPredictor(plan, params, dtype=jnp.float32,
+                                      label_manager=lm)
+        seg_dev = pred.predict(images[0])
+        logits = pred.predict_logits(images[0])
+        if lm is None:
+            seg_host = np.argmax(logits, axis=-1).astype(np.uint8)
+        else:
+            seg_host = lm.convert_logits_to_segmentation(logits)
+        assert seg_dev.dtype == np.uint8
+        np.testing.assert_array_equal(seg_dev, np.asarray(seg_host, np.uint8))
+
+
+def test_traced_seg_matches_predict():
+    """traced_seg (the jit-composable core the fused api path embeds) must
+    equal the standalone predict() dispatch — including the padding branch
+    (image smaller than patch)."""
+    import dataclasses
+
+    images, labels = _synth_dataset(n=1, size=48)
+    fp = extract_fingerprint(images, labels)
+    plan = plan_experiment(fp, num_classes=4)
+    plan = dataclasses.replace(plan, patch_size=(32, 32), batch_size=2,
+                               features_per_stage=(8, 16), strides=(1, 2))
+    from ldiffusion_tpu.models.dynunet import DynUNet
+
+    net = DynUNet(plan.network_config())
+    params = net.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))["params"]
+    pred = SlidingWindowPredictor(plan, params, dtype=jnp.float32)
+    for img in (images[0], images[0][:24, :20]):  # tiled + padded cases
+        fused = jax.jit(lambda pl, im: pred.traced_seg(pl, im))(
+            tuple(pred.params_list), jnp.asarray(img))
+        np.testing.assert_array_equal(np.asarray(fused), pred.predict(img))
