@@ -11,12 +11,14 @@ cyto2 on them). This tool
    checkpoint in this environment; the DOMAIN SHIFT is what matters),
 3. scores watershed and the synthetic-domain artifact on the transformed
    test images,
-4. fine-tunes the proposer on transformed training images (warm-started from
-   the synthetic artifact), and
+4. trains the proposer on transformed training images (round 5: from-scratch
+   96 cases / 180 epochs / features (32,64,128) — the winning configuration
+   of ``tools/ablate_flownet_transformed.py``, which showed the r4 gap was
+   data volume + flow-head capacity, not domain difficulty), and
 5. saves ``ldiffusion_tpu/artifacts/flownet_transformed.npz`` iff it beats
    BOTH watershed and the unadapted synthetic artifact on PQ.
 
-Numbers land in BASELINE.md (round 4).
+Numbers land in BASELINE.md (round 4 recipe; round 5 ablation + artifact).
 
 Run: PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/train_flownet_transformed.py
 """
@@ -55,7 +57,7 @@ def main():
     from ldiffusion_tpu.evaluate import evaluate_instances
 
     rng = np.random.default_rng(0)
-    train = [make_case(rng) for _ in range(32)]
+    train = [make_case(rng) for _ in range(96)]
     test = [make_case(rng) for _ in range(8)]
     gts = [m for _, m in test]
 
@@ -73,14 +75,15 @@ def main():
     print(f"synthetic artifact (unadapted): PQ {syn_m['pq']:.3f} "
           f"AJI {syn_m['mean_aji']:.3f}")
 
-    # fine-tune from the synthetic artifact in the transformed domain
-    prop = FlowNetProposer.load_pretrained(n_iter=150)
-    trainer = FlowNetTrainer(prop, lr=5e-4)
+    # train from scratch in the transformed domain (r5 ablation winner;
+    # warm-starting from the synthetic artifact caps PQ ~0.03 lower)
+    prop = FlowNetProposer.create(features=(32, 64, 128), n_iter=150)
+    trainer = FlowNetTrainer(prop, lr=1e-3)
     losses = trainer.train(tr_imgs, [m for _, m in train],
-                           epochs=60, batch_size=4)
-    print(f"fine-tune loss {losses[0]:.3f} -> {losses[-1]:.3f}")
+                           epochs=180, batch_size=4)
+    print(f"train loss {losses[0]:.3f} -> {losses[-1]:.3f}")
     ft_m = evaluate_instances([prop.propose(im) for im in te_imgs], gts)
-    print(f"fine-tuned (transformed):       PQ {ft_m['pq']:.3f} "
+    print(f"trained (transformed):          PQ {ft_m['pq']:.3f} "
           f"AJI {ft_m['mean_aji']:.3f}")
 
     if ft_m["pq"] > max(ws_m["pq"], syn_m["pq"]):
