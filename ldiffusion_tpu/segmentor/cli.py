@@ -277,13 +277,16 @@ def cmd_plan_and_preprocess(args) -> str:
         raise SystemExit("-overwrite_target_spacing must be three numbers "
                          "(z y x) — reference "
                          "plan_and_preprocess_entrypoints.py:54-62")
+    configurations = getattr(args, "c", None)
+    clean = bool(getattr(args, "clean", False))
     if _is_volumetric_dataset(dataset_json):
         return _plan_and_preprocess_volumetric(
             ds_dir, pp_root, lm, dataset_json, hbm_budget=args.hbm_budget,
             planner=_planner_kind(getattr(args, "pl", None)),
             no_pp=bool(getattr(args, "no_pp", False)),
             target_spacing=spacing_override, preprocessor=preprocessor,
-            plans_name=plans_name)
+            plans_name=plans_name, configurations=configurations,
+            clean=clean)
     if spacing_override is not None:
         raise SystemExit("-overwrite_target_spacing only applies to the 3D "
                          "configurations (reference help: 'Changing the "
@@ -303,17 +306,33 @@ def cmd_plan_and_preprocess(args) -> str:
         if problems:
             raise SystemExit(f"dataset integrity check failed: {problems}")
 
-    fp = extract_fingerprint(images, labels)
-    plan = plan_experiment(fp, lm.num_segmentation_heads,
-                           planner=_planner_kind(getattr(args, "pl", None)))
     out = _pp_dataset_dir(pp_root, ds_dir)
     os.makedirs(out, exist_ok=True)
+    fp_path = os.path.join(out, "dataset_fingerprint.json")
+    if os.path.exists(fp_path) and not clean:
+        # reference cache discipline (plan_and_preprocess_api.py:22-33):
+        # an existing fingerprint is reused unless --clean
+        print(f"fingerprint exists, reusing {fp_path} (--clean re-extracts)")
+        with open(fp_path) as f:
+            fp = json.load(f)
+    else:
+        fp = extract_fingerprint(images, labels)
+        with open(fp_path, "w") as f:
+            json.dump({k: (v.tolist() if hasattr(v, "tolist") else v)
+                       for k, v in fp.items()}, f, indent=2)
+    plan = plan_experiment(fp, lm.num_segmentation_heads,
+                           planner=_planner_kind(getattr(args, "pl", None)))
     plan.save(os.path.join(
         out, "plans.json" if plans_name == "ldPlans" else f"{plans_name}.json"))
     with open(os.path.join(out, "dataset.json"), "w") as f:
         json.dump(dataset_json, f, indent=2)
     if getattr(args, "no_pp", False):
         print(f"plans written to {out} (--no_pp: preprocessing skipped)")
+        return out
+    if configurations is not None and "2d" not in configurations:
+        print(f"plans written to {out}; no requested configuration in "
+              f"{configurations} exists for this 2d dataset — "
+              f"preprocessing skipped (reference -c skip semantics)")
         return out
     # per-case npz store (the unpacked analog of nnUNet's npz+pkl pairs)
     PreprocessedDataset.build(images, labels, _max_label_value(lm) + 1,
@@ -329,7 +348,9 @@ def _plan_and_preprocess_volumetric(ds_dir: str, pp_root: str, lm,
                                     no_pp: bool = False,
                                     target_spacing=None,
                                     preprocessor=None,
-                                    plans_name: str = "ldPlans") -> str:
+                                    plans_name: str = "ldPlans",
+                                    configurations=None,
+                                    clean: bool = False) -> str:
     """Volumetric plan-and-preprocess: fingerprint → ALL 3D configurations
     (3d_fullres always; 3d_lowres + 3d_cascade_fullres for large volumes) →
     per-config preprocessed stores + a multi-config plans file (reference
@@ -348,6 +369,17 @@ def _plan_and_preprocess_volumetric(ds_dir: str, pp_root: str, lm,
         raise SystemExit(f"no volumetric training cases under {ds_dir}/imagesTr")
     out = _pp_dataset_dir(pp_root, ds_dir)
     os.makedirs(out, exist_ok=True)
+    fp_path = os.path.join(out, "dataset_fingerprint.json")
+    fingerprint = None
+    if os.path.exists(fp_path) and not clean:
+        print(f"fingerprint exists, reusing {fp_path} (--clean re-extracts)")
+        with open(fp_path) as f:
+            fingerprint = json.load(f)
+    else:
+        from ldiffusion_tpu.segmentor.fingerprint import extract_fingerprint_3d
+
+        fingerprint = extract_fingerprint_3d(vols, labs, spacings=spacings,
+                                             save_path=fp_path)
     plans_file = ("plans_3d.json" if plans_name == "ldPlans"
                   else f"{plans_name}_3d.json")
     configs, datasets = plan_and_preprocess_3d(
@@ -355,7 +387,8 @@ def _plan_and_preprocess_volumetric(ds_dir: str, pp_root: str, lm,
         planner=planner, hbm_budget=hbm_budget or HBM_BUDGET_BYTES,
         plans_path=os.path.join(out, plans_file),
         preprocess=not no_pp, target_spacing=target_spacing,
-        preprocessor=preprocessor)
+        preprocessor=preprocessor, configurations=configurations,
+        fingerprint=fingerprint)
     for name, ds in datasets.items():
         keyed = {cid: ds[f"case_{i:03d}"] for i, cid in enumerate(ids)}
         PreprocessedDataset(cases=keyed).save(
@@ -819,6 +852,9 @@ def cmd_predict(args) -> str:
 # ---------------------------------------------------------------------------
 
 def cmd_extract_fingerprint(args) -> str:
+    """Fingerprint extraction with the reference's cache discipline
+    (``plan_and_preprocess_api.py:22-33`` → ``fingerprint_extractor.py:107-114``):
+    an existing ``dataset_fingerprint.json`` is reused unless ``--clean``."""
     from ldiffusion_tpu.segmentor.fingerprint import extract_fingerprint
 
     raw_root = _require(args.raw or env_paths.raw_dir(warn=False),
@@ -826,11 +862,14 @@ def cmd_extract_fingerprint(args) -> str:
     pp_root = _require(args.preprocessed or env_paths.preprocessed_dir(warn=False),
                        "--preprocessed", "LDIFFUSION_PREPROCESSED")
     ds_dir = find_dataset_dir(raw_root, args.d)
+    out = _pp_dataset_dir(pp_root, ds_dir)
+    path = os.path.join(out, "dataset_fingerprint.json")
+    if os.path.exists(path) and not getattr(args, "clean", False):
+        print(f"fingerprint exists, reusing {path} (--clean re-extracts)")
+        return path
     ids, images, labels = load_png_cases(ds_dir, "Tr")
     fp = extract_fingerprint(images, labels)
-    out = _pp_dataset_dir(pp_root, ds_dir)
     os.makedirs(out, exist_ok=True)
-    path = os.path.join(out, "dataset_fingerprint.json")
     with open(path, "w") as f:
         json.dump({k: (v.tolist() if hasattr(v, "tolist") else v)
                    for k, v in fp.items()}, f, indent=2)
@@ -871,6 +910,13 @@ def cmd_preprocess(args) -> str:
                        "--preprocessed", "LDIFFUSION_PREPROCESSED")
     ds_dir = find_dataset_dir(raw_root, args.d)
     out = _pp_dataset_dir(pp_root, ds_dir)
+    configurations = getattr(args, "c", None) or ["2d"]
+    if "2d" not in configurations:
+        # reference -c: configurations that do not exist for a dataset are
+        # skipped; the split-phase preprocess handles PNG (2d) datasets
+        print(f"no requested configuration in {configurations} exists for "
+              f"this 2d dataset — nothing to preprocess")
+        return out
     if not os.path.exists(os.path.join(out, "plans.json")):
         cmd_plan_experiment(args)
     lm, _ = _label_manager(ds_dir)
@@ -1294,6 +1340,17 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("-overwrite_plans_name", default=None,
                     help="write plans under a custom identifier (consume "
                          "with -p NAME in train/predict)")
+    pp.add_argument("-c", nargs="+",
+                    default=["2d", "3d_fullres", "3d_lowres"],
+                    help="configurations to preprocess (reference -c, "
+                         "default: 2d 3d_fullres 3d_lowres; "
+                         "3d_cascade_fullres reuses 3d_fullres data; "
+                         "configurations that do not exist for a dataset "
+                         "are skipped)")
+    pp.add_argument("--clean", action="store_true",
+                    help="re-extract the dataset fingerprint even if a "
+                         "cached dataset_fingerprint.json exists "
+                         "(reference --clean)")
     pp.set_defaults(fn=cmd_plan_and_preprocess)
 
     tr = sub.add_parser("train", help="train one fold (nnUNetv2_train)")
@@ -1370,6 +1427,17 @@ def build_parser() -> argparse.ArgumentParser:
         if name == "plan_experiment":
             sp.add_argument("-pl", default="default",
                             help="planner: default | resenc")
+        if name == "extract_fingerprint":
+            sp.add_argument("--clean", action="store_true",
+                            help="overwrite an existing cached fingerprint "
+                                 "(reference --clean; without it an "
+                                 "existing dataset_fingerprint.json is "
+                                 "reused)")
+        if name == "preprocess":
+            sp.add_argument("-c", nargs="+",
+                            default=["2d", "3d_fullres", "3d_lowres"],
+                            help="configurations to preprocess "
+                                 "(reference -c)")
         sp.set_defaults(fn=fn)
 
     ev = sub.add_parser("evaluate_folder",

@@ -267,7 +267,9 @@ def plan_and_preprocess_3d(volumes, labels, num_classes: int,
                            plans_path: Optional[str] = None,
                            preprocess: bool = True,
                            target_spacing=None,
-                           preprocessor=None):
+                           preprocessor=None,
+                           configurations=None,
+                           fingerprint: Optional[Dict] = None):
     """The 3D plan-and-preprocess entry point (reference
     ``experiment_planning/plan_and_preprocess_api.py:18-138``):
     fingerprint → all 3D configurations → per-config preprocessed datasets
@@ -275,12 +277,22 @@ def plan_and_preprocess_3d(volumes, labels, num_classes: int,
     ``preprocess=False`` plans only (the --no_pp flag) and returns empty
     datasets.
 
+    ``configurations``: preprocess only these configuration names (the
+    reference ``-c`` flag, ``plan_and_preprocess_entrypoints.py:80-84``);
+    requested names that do not exist for this dataset are skipped, as
+    upstream. All configurations are still PLANNED (the plans file is
+    whole either way); only the preprocessing fan-out is filtered.
+    ``fingerprint``: a precomputed/cached fingerprint dict (the ``--clean``
+    cache contract — callers pass the loaded ``dataset_fingerprint.json``
+    to skip re-extraction).
+
     volumes: list of (Z, H, W, C) float arrays; labels: list of (Z, H, W).
     """
     from ldiffusion_tpu.segmentor.fingerprint import extract_fingerprint_3d
     from ldiffusion_tpu.segmentor.preprocess import PreprocessedDataset
 
-    fp = extract_fingerprint_3d(volumes, labels, spacings=spacings)
+    fp = (fingerprint if fingerprint is not None
+          else extract_fingerprint_3d(volumes, labels, spacings=spacings))
     configs = plan_all_configurations(fp, num_classes, hbm_budget,
                                       planner=planner,
                                       target_spacing=target_spacing)
@@ -289,12 +301,19 @@ def plan_and_preprocess_3d(volumes, labels, num_classes: int,
         from ldiffusion_tpu.segmentor.preprocess import DefaultPreprocessor
 
         preprocessor = DefaultPreprocessor()
+    if configurations is not None:
+        for c in configurations:
+            if c not in configs and c != "2d":
+                print(f"configuration {c} not found for this dataset — "
+                      f"skipping (available: {sorted(configs)})")
     datasets = {}
     for name, plan in configs.items():
         if not preprocess:
             break
         if plan.previous_stage is not None:
             continue  # cascade stage consumes the lowres stage's output
+        if configurations is not None and name not in configurations:
+            continue  # reference -c: preprocess only the requested subset
         cases = {}
         for i, (vol, lab) in enumerate(zip(volumes, labels)):
             cases[f"case_{i:03d}"] = preprocessor.run_case_3d(
