@@ -47,12 +47,23 @@ def _resize64(patch: np.ndarray) -> np.ndarray:
 def extract_instance_patches(image: np.ndarray, instances: np.ndarray,
                              max_instances: Optional[int] = None):
     """image: (H, W, 3) in [0,1]; instances: (H, W) ids.
-    Returns (patches (N,64,64,3) imagenet-normalized, ids list, boxes list)."""
-    ids = [i for i in np.unique(instances) if i != 0]
+    Returns (patches (N,64,64,3) imagenet-normalized, ids list, boxes list).
+
+    Bounding boxes come from one ``ndimage.find_objects`` pass (O(H·W))
+    instead of a per-instance full-image ``nonzero`` scan (O(N·H·W) — at
+    PUMA densities, hundreds of instances per 1024² ROI, the naive loop
+    dominated the whole cell-inference wall; BASELINE.md r5)."""
+    from scipy import ndimage
+
+    if instances.max() <= 0:
+        return np.zeros((0, PATCH, PATCH, 3), np.float32), [], []
+    slices = ndimage.find_objects(instances)
     patches, keep, boxes = [], [], []
-    for i in ids:
-        ys, xs = np.nonzero(instances == i)
-        y1, y2, x1, x2 = ys.min(), ys.max(), xs.min(), xs.max()
+    for i, sl in enumerate(slices, start=1):
+        if sl is None:  # id absent (non-dense labeling)
+            continue
+        ysl, xsl = sl
+        y1, y2, x1, x2 = ysl.start, ysl.stop - 1, xsl.start, xsl.stop - 1
         if y2 - y1 < MIN_BOX or x2 - x1 < MIN_BOX:
             continue
         p = _resize64(image[y1:y2 + 1, x1:x2 + 1])
@@ -78,7 +89,11 @@ class CellSegClassifier:
         rng = jax.random.key(0) if rng is None else rng
         r1, r2, r3 = jax.random.split(rng, 3)
         if encoder_variables is None:
-            encoder_variables = self.encoder.init(r1, jnp.zeros((1, PATCH, PATCH, 3)))
+            # jitted init: ONE dispatch instead of per-op eager round trips
+            # (ResNet-152 is ~800 inits; over the tunneled TPU eager init
+            # costs minutes)
+            encoder_variables = jax.jit(self.encoder.init)(
+                r1, jnp.zeros((1, PATCH, PATCH, 3)))
         self.encoder_vars = encoder_variables
         n_stages = len(self.encoder_cfg.stage_sizes)
         feat_dim = self.encoder_cfg.width * (2 ** (n_stages - 1)) * 4  # bottleneck expansion
@@ -115,30 +130,62 @@ class CellSegClassifier:
 
     def classify_patches(self, patches: np.ndarray) -> np.ndarray:
         """→ predicted classes in 1..num_classes-1 (background dropped,
-        reference ``conductor.py:219-221``)."""
-        if patches.shape[0] == 0:
+        reference ``conductor.py:219-221``).
+
+        The batch is zero-padded up to a power-of-two bucket (min 32): under
+        jit every distinct N would otherwise compile a fresh ResNet-152
+        program — minutes per new instance count over the tunneled chip.
+        Bucketing bounds the number of compiled programs at log₂(max N) and
+        the pad rows are discarded after the argmax."""
+        n = patches.shape[0]
+        if n == 0:
             return np.zeros((0,), np.int64)
+        bucket = max(32, 1 << (n - 1).bit_length())
+        if bucket != n:
+            patches = np.concatenate(
+                [patches, np.zeros((bucket - n,) + patches.shape[1:], patches.dtype)])
         logits = self._logits_fn(self.head, self.encoder_vars, jnp.asarray(patches))
         probs = jax.nn.softmax(logits, axis=-1)[:, 1:]
-        return np.asarray(jnp.argmax(probs, axis=-1) + 1)
+        return np.asarray(jnp.argmax(probs, axis=-1) + 1)[:n]
+
+    def _class_lut(self, instances: np.ndarray, ids, classes) -> np.ndarray:
+        """Instance-id → class LUT (0 for background and skipped instances)."""
+        lut = np.zeros(int(instances.max()) + 1, np.int64)
+        lut[np.asarray(ids, np.int64)] = classes
+        return lut
 
     def forward(self, image: np.ndarray) -> dict:
         """image: (H, W, 3) in [0,1] → {"out": (1, H, W, C) one-hot painted
-        mask, "instances": (H, W) ids} (reference forward, ``:175-233``)."""
+        mask, "instances": (H, W) ids} (reference forward, ``:175-233``).
+
+        Painting is one LUT gather + scatter (O(H·W)) rather than a
+        per-instance ``instances == id`` mask loop (O(N·H·W))."""
         instances = self.proposer.propose(image)
         patches, ids, _ = extract_instance_patches(image, instances)
         out = np.zeros((1,) + image.shape[:2] + (self.num_classes,), np.float32)
         if not ids:
             return {"out": out, "instances": instances}
         classes = self.classify_patches(patches)
-        for inst_id, cls in zip(ids, classes):
-            out[0, instances == inst_id, int(cls)] = 1.0
+        cls_map = self._class_lut(instances, ids, classes)[instances]
+        fg = cls_map > 0
+        out[0][fg, cls_map[fg]] = 1.0
         return {"out": out, "instances": instances}
 
     def predict_mask(self, image: np.ndarray) -> np.ndarray:
         """→ (H, W) class map (softmax-argmax over the painted one-hot —
-        equals its argmax; reference ``segmentor.py:536``)."""
-        return np.argmax(self.forward(image)["out"][0], axis=-1).astype(np.uint8)
+        equals its argmax; reference ``segmentor.py:536``).
+
+        Computed directly from the id→class LUT: background/skipped pixels
+        have all-zero one-hot rows whose argmax is 0, which is exactly the
+        LUT's 0 entry, so this equals ``argmax(forward()["out"])`` without
+        materializing the (H, W, C) one-hot (pinned by
+        ``tests/test_cell_fastpath.py``)."""
+        instances = self.proposer.propose(image)
+        patches, ids, _ = extract_instance_patches(image, instances)
+        if not ids:
+            return np.zeros(image.shape[:2], np.uint8)
+        classes = self.classify_patches(patches)
+        return self._class_lut(instances, ids, classes)[instances].astype(np.uint8)
 
     # -- persistence ---------------------------------------------------------
     def save(self, path: str):
@@ -188,10 +235,15 @@ class CellTrainer:
     @staticmethod
     def instance_majority_labels(instances: np.ndarray, gt_mask: np.ndarray,
                                  ids: Sequence[int]) -> np.ndarray:
-        return np.array(
-            [np.bincount(gt_mask[instances == i].reshape(-1)).argmax() for i in ids],
-            np.int32,
-        )
+        """Majority ground-truth class per instance via ONE joint
+        (instance, class) bincount over the image — O(H·W), replacing the
+        per-instance full-image mask loop (O(N·H·W))."""
+        n_cls = int(gt_mask.max()) + 1
+        joint = np.bincount(
+            (instances.astype(np.int64) * n_cls + gt_mask.astype(np.int64)).ravel(),
+            minlength=(int(instances.max()) + 1) * n_cls,
+        ).reshape(-1, n_cls)
+        return joint.argmax(axis=1)[np.asarray(ids, np.int64)].astype(np.int32)
 
     def train(self, train_pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
               val_pairs: Sequence[Tuple[np.ndarray, np.ndarray]],

@@ -247,17 +247,34 @@ class FlowNetProposer:
                             "artifacts", f"flownet_{domain}.npz")
         return cls.load(path, **kw)
 
+    def _net_fn(self):
+        """Jitted net forward (cached on the instance): an eager
+        ``net.apply`` dispatches op-by-op — hundreds of ~0.5 s round trips
+        over the tunneled TPU (BASELINE.md r5 cell-path bench)."""
+        fn = getattr(self, "_jit_net", None)
+        if fn is None:
+            fn = jax.jit(lambda p, im: self.net.apply({"params": p}, im,
+                                                      train=False))
+            object.__setattr__(self, "_jit_net", fn)
+        return fn
+
     def predict_flows(self, image: np.ndarray) -> np.ndarray:
-        out = self.net.apply({"params": self.params},
-                             jnp.asarray(image)[None], train=False)[0]
+        out = self._net_fn()(self.params, jnp.asarray(image)[None])[0]
         return np.asarray(out)
 
-    def propose(self, image: np.ndarray) -> np.ndarray:
-        out = self.predict_flows(image)
+    def device_flows_and_pos(self, image) -> tuple:
+        """One jit-composable program: net forward → sigmoid → flow
+        integration. Returns (pos (H,W,2), cellprob (H,W)) device arrays —
+        ``propose`` runs it as a single dispatch; ``inference_cell`` fuses it
+        behind the diffusion transform."""
+        out = self._net_fn()(self.params, jnp.asarray(image)[None])[0]
         # net regresses 5x-scaled flows (cellpose convention); unscale here
-        flows, cellprob = out[..., :2] / 5.0, jax.nn.sigmoid(jnp.asarray(out[..., 2]))
-        pos = follow_flows(jnp.asarray(flows), cellprob, self.n_iter,
-                           self.prob_threshold)
+        flows, cellprob = out[..., :2] / 5.0, jax.nn.sigmoid(out[..., 2])
+        pos = follow_flows(flows, cellprob, self.n_iter, self.prob_threshold)
+        return pos, cellprob
+
+    def propose(self, image: np.ndarray) -> np.ndarray:
+        pos, cellprob = self.device_flows_and_pos(image)
         return cluster_endpoints(np.asarray(pos), np.asarray(cellprob),
                                  self.prob_threshold, self.min_size)
 

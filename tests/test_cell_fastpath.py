@@ -1,0 +1,130 @@
+"""The cell path's O(H·W) host fast paths match the naive per-instance
+semantics exactly (reference ``model/conductor.py:175-233`` loops over
+instances with full-image masks; at PUMA densities that is O(N·H·W) and
+dominated the cell-inference wall — BASELINE.md r5)."""
+import jax
+import numpy as np
+import pytest
+
+from ldiffusion_tpu.cell.classifier import (
+    MIN_BOX,
+    PATCH,
+    CellSegClassifier,
+    CellTrainer,
+    extract_instance_patches,
+    _resize64,
+)
+from ldiffusion_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
+from ldiffusion_tpu.models.resnet import ResNetConfig
+
+
+def _random_instances(rng, h=96, w=96, n=12, non_dense=True):
+    """Blob instance map with some boxes below MIN_BOX and a gap in the ids."""
+    inst = np.zeros((h, w), np.int32)
+    next_id = 1
+    for k in range(n):
+        cy, cx = rng.integers(5, h - 5), rng.integers(5, w - 5)
+        r = int(rng.integers(1, 9))  # some below MIN_BOX
+        yy, xx = np.ogrid[:h, :w]
+        mask = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+        inst[mask & (inst == 0)] = next_id
+        next_id += 1
+        if non_dense and k == 4:
+            next_id += 3  # id gap: non-dense labeling
+    return inst
+
+
+def _naive_extract(image, instances, max_instances=None):
+    """The pre-r5 implementation, kept as the oracle."""
+    ids = [i for i in np.unique(instances) if i != 0]
+    patches, keep, boxes = [], [], []
+    for i in ids:
+        ys, xs = np.nonzero(instances == i)
+        y1, y2, x1, x2 = ys.min(), ys.max(), xs.min(), xs.max()
+        if y2 - y1 < MIN_BOX or x2 - x1 < MIN_BOX:
+            continue
+        p = _resize64(image[y1:y2 + 1, x1:x2 + 1])
+        patches.append((p - IMAGENET_MEAN) / IMAGENET_STD)
+        keep.append(int(i))
+        boxes.append((int(x1), int(y1), int(x2), int(y2)))
+        if max_instances and len(keep) >= max_instances:
+            break
+    if not patches:
+        return np.zeros((0, PATCH, PATCH, 3), np.float32), [], []
+    return np.stack(patches), keep, boxes
+
+
+@pytest.mark.parametrize("max_instances", [None, 3])
+def test_extract_matches_naive(max_instances):
+    rng = np.random.default_rng(0)
+    image = rng.random((96, 96, 3)).astype(np.float32)
+    inst = _random_instances(rng)
+    fast = extract_instance_patches(image, inst, max_instances)
+    ref = _naive_extract(image, inst, max_instances)
+    assert fast[1] == ref[1] and fast[2] == ref[2]
+    np.testing.assert_array_equal(fast[0], ref[0])
+
+
+def test_extract_empty():
+    image = np.zeros((32, 32, 3), np.float32)
+    p, ids, boxes = extract_instance_patches(image, np.zeros((32, 32), np.int32))
+    assert p.shape == (0, PATCH, PATCH, 3) and ids == [] and boxes == []
+
+
+def _tiny_model(num_classes=4):
+    cfg = ResNetConfig(stage_sizes=(1, 1), width=8)
+    return CellSegClassifier(num_classes, encoder_cfg=cfg, rng=jax.random.key(1))
+
+
+class _FixedProposer:
+    def __init__(self, inst):
+        self.inst = inst
+
+    def propose(self, image):
+        return self.inst
+
+
+def test_forward_paint_and_predict_mask_match_naive():
+    rng = np.random.default_rng(1)
+    image = rng.random((96, 96, 3)).astype(np.float32)
+    inst = _random_instances(rng)
+    model = _tiny_model()
+    model.proposer = _FixedProposer(inst)
+
+    out = model.forward(image)["out"]
+    # naive paint with the same classes
+    patches, ids, _ = extract_instance_patches(image, inst)
+    classes = model.classify_patches(patches)
+    ref = np.zeros_like(out)
+    for inst_id, cls in zip(ids, classes):
+        ref[0, inst == inst_id, int(cls)] = 1.0
+    np.testing.assert_array_equal(out, ref)
+
+    # predict_mask's LUT shortcut equals argmax over the painted one-hot
+    np.testing.assert_array_equal(
+        model.predict_mask(image),
+        np.argmax(out[0], axis=-1).astype(np.uint8))
+
+
+def test_classify_patches_bucketing_invariant():
+    """Zero-pad rows must not change the real rows' classes, and distinct N
+    within a bucket reuse one compiled program."""
+    model = _tiny_model()
+    rng = np.random.default_rng(2)
+    patches = rng.standard_normal((5, PATCH, PATCH, 3)).astype(np.float32)
+    got5 = model.classify_patches(patches)
+    got3 = model.classify_patches(patches[:3])
+    np.testing.assert_array_equal(got5[:3], got3)
+    assert got5.shape == (5,) and got5.min() >= 1
+    assert got5.max() <= model.num_classes - 1
+
+
+def test_instance_majority_labels_matches_naive():
+    rng = np.random.default_rng(3)
+    inst = _random_instances(rng)
+    gt = rng.integers(0, 5, inst.shape).astype(np.int64)
+    ids = [int(i) for i in np.unique(inst) if i != 0]
+    got = CellTrainer.instance_majority_labels(inst, gt, ids)
+    ref = np.array(
+        [np.bincount(gt[inst == i].reshape(-1)).argmax() for i in ids], np.int32)
+    np.testing.assert_array_equal(got, ref)
