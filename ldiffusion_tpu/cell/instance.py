@@ -132,12 +132,23 @@ def masks_to_flows(masks: np.ndarray) -> np.ndarray:
     return flows
 
 
-@partial(jax.jit, static_argnames=("n_iter",))
+@partial(jax.jit, static_argnames=("n_iter", "method"))
 def follow_flows(flows: jax.Array, cellprob: jax.Array, n_iter: int = 200,
-                 prob_threshold: float = 0.5):
-    """Euler-integrate pixels along the flow field (jitted fori_loop — the
-    TPU analog of cellpose's sequential flow dynamics). flows: (H, W, 2)
-    [dy, dx]; returns final (y, x) positions per pixel, (H, W, 2)."""
+                 prob_threshold: float = 0.5, method: str = "squaring"):
+    """Integrate pixels along the flow field (the TPU analog of cellpose's
+    sequential flow dynamics). flows: (H, W, 2) [dy, dx]; returns final
+    (y, x) positions per pixel, (H, W, 2).
+
+    ``method="squaring"`` (default): scaling-and-squaring. The flow field is
+    STATIC, so the n-step Euler map composed with itself is exactly the
+    2n-step map (the only approximation is bilinear regridding of the map,
+    the same interpolation Euler itself uses on the field). k₀ explicit
+    steps then d map compositions cover k₀·2^d ≥ n_iter steps in
+    O(log n_iter) gather passes instead of O(n_iter) — each pass is a
+    1M-pixel random gather, the dominant cost of the cell path's propose
+    stage on the tunneled TPU (BASELINE.md r5). ``method="euler"`` keeps
+    the literal step-by-step integration (the oracle;
+    ``tests/test_cell.py`` pins the two to near-identical partitions)."""
     h, w = cellprob.shape
     yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
@@ -150,13 +161,26 @@ def follow_flows(flows: jax.Array, cellprob: jax.Array, n_iter: int = 200,
             for c in range(field.shape[-1])
         ], axis=-1)
 
-    def body(_, pos):
+    def euler_body(_, pos):
         f = bilinear(flows, pos[..., 0], pos[..., 1])
         pos = pos + f
         return jnp.stack([jnp.clip(pos[..., 0], 0, h - 1),
                           jnp.clip(pos[..., 1], 0, w - 1)], axis=-1)
 
-    pos = jax.lax.fori_loop(0, n_iter, body, pos0)
+    if method == "euler" or n_iter <= 8:
+        pos = jax.lax.fori_loop(0, n_iter, euler_body, pos0)
+    else:
+        assert method == "squaring", method
+        d = max(1, int(np.ceil(np.log2(n_iter / 8))))
+        k0 = -(-n_iter // (1 << d))  # ceil: k0 * 2^d >= n_iter
+        pos = jax.lax.fori_loop(0, k0, euler_body, pos0)
+
+        def square_body(_, phi):
+            # φ∘φ: resample the k-step map at its own endpoints (values are
+            # clipped in euler_body; bilinear blends stay in bounds)
+            return bilinear(phi, phi[..., 0], phi[..., 1])
+
+        pos = jax.lax.fori_loop(0, d, square_body, pos)
     mask = cellprob > prob_threshold
     return jnp.where(mask[..., None], pos, pos0)
 

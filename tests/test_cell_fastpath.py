@@ -119,6 +119,33 @@ def test_classify_patches_bucketing_invariant():
     assert got5.max() <= model.num_classes - 1
 
 
+def test_follow_flows_squaring_matches_euler():
+    """Scaling-and-squaring integration (log-depth map composition) yields
+    the same instance partition as literal Euler stepping: the flow field is
+    static, so composing the k-step map IS the 2k-step map up to bilinear
+    regridding — the same interpolation Euler applies to the field."""
+    from ldiffusion_tpu.cell.instance import (
+        cluster_endpoints,
+        follow_flows,
+        masks_to_flows,
+    )
+    from ldiffusion_tpu.evaluate import evaluate_instances
+
+    rng = np.random.default_rng(7)
+    inst = _random_instances(rng, h=96, w=96, n=10)
+    f = masks_to_flows(inst)
+    flows, prob = f[..., :2], f[..., 2]
+    labs = {}
+    for method in ("euler", "squaring"):
+        pos = follow_flows(flows, prob, n_iter=150, method=method)
+        labs[method] = cluster_endpoints(np.asarray(pos), prob, min_size=10)
+    m = evaluate_instances([labs["squaring"]], [labs["euler"]])
+    assert m["pq"] > 0.9, m
+    # both reconstruct the ground-truth instances they were derived from
+    gt_m = evaluate_instances([labs["squaring"]], [inst])
+    assert gt_m["pq"] > 0.8, gt_m
+
+
 def test_instance_majority_labels_matches_naive():
     rng = np.random.default_rng(3)
     inst = _random_instances(rng)

@@ -136,6 +136,12 @@ def main():
         p0, ids0, _ = extract_instance_patches(scenes[0], inst0)
         if ids0:
             model.classify_patches(p0)
+            # pre-compile the adjacent buckets the timed scenes may hit
+            # (instance counts vary ±5% around the warmup scene's); a bucket
+            # compile landing inside a timed pass would corrupt the average
+            for nb in (1536, 1024, 512):
+                if len(ids0) > nb // 2:
+                    model.classify_patches(p0[:min(len(ids0), nb)])
         print(f"[{name}] warmup (compiles) {time.perf_counter()-t0:.1f}s; "
               f"{inst0.max()} instances proposed, {len(ids0)} kept", flush=True)
 
