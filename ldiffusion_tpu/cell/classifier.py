@@ -7,6 +7,13 @@ ResNet-152 encoder â†’ 1Ã—1-conv adapter (2048â†’256) â†’ global average pool â†
 linear classifier â†’ top-1 over classes 1..N-1 (background prob dropped,
 ``:219-221``) â€” painted back as a one-hot (1, H, W, C) mask.
 
+TPU-native hot path: the crop+resize runs ON DEVICE (``roi_resize_64`` â€”
+one batched bilinear gather fused into the classify program), so the host
+ships one image + a box table per ROI instead of materialized patches, and
+the trainer caches the FROZEN encoder's features so epochs touch only the
+adapter+classifier. The host PIL path is kept as the oracle
+(``extract_instance_patches``).
+
 Training contract (reference ``segmentor.py:243-299``): AdamW lr 1e-4,
 CombinedLoss, best-val-micro-dice checkpointing. Documented fix (SURVEY Â§7):
 the reference's loss had no gradient path to any parameter (the painted mask
@@ -44,23 +51,19 @@ def _resize64(patch: np.ndarray) -> np.ndarray:
     return np.asarray(img.resize((PATCH, PATCH), Image.BILINEAR), np.float32) / 255.0
 
 
-def extract_instance_patches(image: np.ndarray, instances: np.ndarray,
-                             max_instances: Optional[int] = None):
-    """image: (H, W, 3) in [0,1]; instances: (H, W) ids.
-    Returns (patches (N,64,64,3) imagenet-normalized, ids list, boxes list).
-
-    Bounding boxes come from one ``ndimage.find_objects`` pass (O(HÂ·W))
-    instead of a per-instance full-image ``nonzero`` scan (O(NÂ·HÂ·W) â€” at
-    PUMA densities, hundreds of instances per 1024Â² ROI, the naive loop
-    dominated the whole cell-inference wall; BASELINE.md r5). The per-crop
-    PIL resizes release the GIL, so they run on a thread pool (the crops are
-    independent; outputs stay in instance-id order)."""
-    from concurrent.futures import ThreadPoolExecutor
-
+def extract_instance_boxes(instances: np.ndarray,
+                           max_instances: Optional[int] = None):
+    """instances: (H, W) ids â†’ (ids list, boxes list of (x1, y1, x2, y2)
+    inclusive). Bounding boxes come from one ``ndimage.find_objects`` pass
+    (O(HÂ·W)) instead of a per-instance full-image ``nonzero`` scan
+    (O(NÂ·HÂ·W) â€” at PUMA densities, hundreds of instances per 1024Â² ROI, the
+    naive loop dominated the whole cell-inference wall; BASELINE.md r5).
+    Boxes with either side < MIN_BOX are skipped (reference
+    ``conductor.py:197``)."""
     from scipy import ndimage
 
     if instances.max() <= 0:
-        return np.zeros((0, PATCH, PATCH, 3), np.float32), [], []
+        return [], []
     slices = ndimage.find_objects(instances)
     keep, boxes = [], []
     for i, sl in enumerate(slices, start=1):
@@ -74,6 +77,61 @@ def extract_instance_patches(image: np.ndarray, instances: np.ndarray,
         boxes.append((int(x1), int(y1), int(x2), int(y2)))
         if max_instances and len(keep) >= max_instances:
             break
+    return keep, boxes
+
+
+def roi_resize_64(image: jax.Array, boxes: jax.Array) -> jax.Array:
+    """Device-side batched crop-and-resize: (H, W, 3) image + (B, 4) boxes
+    (x1, y1, x2, y2 inclusive, integral floats) â†’ (B, 64, 64, 3) patches in
+    the image's value range (NOT normalized).
+
+    Bilinear sampling with PIL's center-alignment convention
+    (src = (dst + 0.5)Â·scale âˆ’ 0.5), taps clamped to the box so crop edges
+    replicate exactly as if the crop were materialized first. Replaces the
+    host per-crop PIL loop AND the (bucket, 64, 64, 3) hostâ†’device patch
+    transfer (100 MB at bucket 2048) with one 4 MB image + a (B, 4) box
+    table â€” the extract stage's entire cost moves into the jitted program
+    as one batched gather. Deviation from PIL (documented, PARITY.md): no
+    uint8 quantization, and no antialias triangle filter when a box side
+    exceeds 64 px (pure bilinear matches torch ``F.interpolate``; cell
+    boxes are typically 8-40 px, i.e. upscaled, where PIL is also pure
+    bilinear â€” pinned within uint8 rounding by
+    ``tests/test_cell_fastpath.py::test_roi_resize_matches_pil_on_upscale``)."""
+    x1, y1 = boxes[:, 0], boxes[:, 1]
+    x2, y2 = boxes[:, 2], boxes[:, 3]
+    d = jnp.arange(PATCH, dtype=jnp.float32) + 0.5
+    sy = (y2 - y1 + 1.0) / PATCH
+    sx = (x2 - x1 + 1.0) / PATCH
+    ys = jnp.clip(y1[:, None] + d * sy[:, None] - 0.5, y1[:, None], y2[:, None])
+    xs = jnp.clip(x1[:, None] + d * sx[:, None] - 0.5, x1[:, None], x2[:, None])
+    y0f, x0f = jnp.floor(ys), jnp.floor(xs)
+    wy, wx = ys - y0f, xs - x0f                       # (B, 64) each
+    y0 = y0f.astype(jnp.int32)
+    x0 = x0f.astype(jnp.int32)
+    y1i = jnp.minimum(y0 + 1, y2.astype(jnp.int32)[:, None])
+    x1i = jnp.minimum(x0 + 1, x2.astype(jnp.int32)[:, None])
+
+    def g(yi, xi):  # (B,64) rows, (B,64) cols -> (B,64,64,3)
+        return image[yi[:, :, None], xi[:, None, :]]
+
+    ry, rx = wy[:, :, None, None], wx[:, None, :, None]
+    return (g(y0, x0) * (1 - ry) * (1 - rx) + g(y0, x1i) * (1 - ry) * rx
+            + g(y1i, x0) * ry * (1 - rx) + g(y1i, x1i) * ry * rx)
+
+
+def extract_instance_patches(image: np.ndarray, instances: np.ndarray,
+                             max_instances: Optional[int] = None):
+    """image: (H, W, 3) in [0,1]; instances: (H, W) ids.
+    Returns (patches (N,64,64,3) imagenet-normalized, ids list, boxes list).
+
+    Host-side (PIL) reference path â€” kept as the oracle for
+    ``roi_resize_64`` and for callers that want materialized patches; the
+    inference/training hot paths use ``classify_rois``/``roi_resize_64``
+    instead. The per-crop PIL resizes release the GIL, so they run on a
+    thread pool (the crops are independent; outputs stay in id order)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    keep, boxes = extract_instance_boxes(instances, max_instances)
     if not keep:
         return np.zeros((0, PATCH, PATCH, 3), np.float32), [], []
 
@@ -127,19 +185,43 @@ class CellSegClassifier:
         self._logits_fn = self._make_logits_fn()
 
     # -- forward ------------------------------------------------------------
+    @staticmethod
+    def _head_logits(head, feats):
+        """adapter 1Ã—1-equivalent conv â†’ GAP â†’ linear (reference
+        ``conductor.py:214-219``); feats: encoder output (B, h, w, 2048)."""
+        feats = jax.lax.conv_general_dilated(
+            feats, head["adapter"]["kernel"], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + head["adapter"]["bias"]
+        feats = jnp.mean(feats, axis=(1, 2))  # global average pool
+        return feats @ head["classifier"]["kernel"] + head["classifier"]["bias"]
+
     def _make_logits_fn(self):
         @jax.jit
         def logits_fn(head, enc_vars, patches):
             feats = self.encoder.apply(enc_vars, patches, train=False)
             feats = jax.lax.stop_gradient(feats)  # frozen (reference :213)
-            feats = jax.lax.conv_general_dilated(
-                feats, head["adapter"]["kernel"], (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + head["adapter"]["bias"]
-            feats = jnp.mean(feats, axis=(1, 2))  # global average pool
-            return feats @ head["classifier"]["kernel"] + head["classifier"]["bias"]
+            return self._head_logits(head, feats)
 
         return logits_fn
+
+    def _roi_logits_fn_cached(self):
+        """One jitted program: image + boxes â†’ on-device crop/resize/
+        normalize â†’ frozen encoder â†’ head logits. The whole extract stage
+        runs on-chip; the host ships 4 MB of image instead of up to 100 MB
+        of materialized patches."""
+        fn = getattr(self, "_roi_logits_jit", None)
+        if fn is None:
+            @jax.jit
+            def fn(head, enc_vars, image, boxes):
+                patches = roi_resize_64(image, boxes)
+                patches = (patches - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+                feats = self.encoder.apply(enc_vars, patches, train=False)
+                feats = jax.lax.stop_gradient(feats)
+                return self._head_logits(head, feats)
+
+            self._roi_logits_jit = fn
+        return fn
 
     def classify_patches(self, patches: np.ndarray) -> np.ndarray:
         """â†’ predicted classes in 1..num_classes-1 (background dropped,
@@ -171,6 +253,38 @@ class CellSegClassifier:
         probs = jax.nn.softmax(logits, axis=-1)[:, 1:]
         return np.asarray(jnp.argmax(probs, axis=-1) + 1)[:n]
 
+    @staticmethod
+    def _bucket(n: int) -> int:
+        """Pad target bounding the compiled-program count: powers of two up
+        to 512, multiples of 512 above (see ``classify_patches``)."""
+        if n <= 512:
+            return max(32, 1 << (n - 1).bit_length())
+        return -(-n // 512) * 512
+
+    def pad_boxes(self, boxes) -> np.ndarray:
+        """(N, 4) boxes â†’ (bucket, 4) float32, padded with full-patch dummy
+        boxes (their rows are dropped after the argmax)."""
+        n = len(boxes)
+        bucket = self._bucket(n)
+        bb = np.zeros((bucket, 4), np.float32)
+        bb[:, 2:] = PATCH - 1.0
+        bb[:n] = np.asarray(boxes, np.float32)
+        return bb
+
+    def classify_rois(self, image: np.ndarray, boxes) -> np.ndarray:
+        """â†’ predicted classes in 1..num_classes-1 for each (x1, y1, x2, y2)
+        box, crop/resize/encode fused into one device program (the
+        ``classify_patches`` fast path â€” equal predictions pinned by
+        ``tests/test_cell_fastpath.py::test_classify_rois_matches_patches``)."""
+        n = len(boxes)
+        if n == 0:
+            return np.zeros((0,), np.int64)
+        logits = self._roi_logits_fn_cached()(
+            self.head, self.encoder_vars,
+            jnp.asarray(image, jnp.float32), jnp.asarray(self.pad_boxes(boxes)))
+        probs = jax.nn.softmax(logits, axis=-1)[:, 1:]
+        return np.asarray(jnp.argmax(probs, axis=-1) + 1)[:n]
+
     def _class_lut(self, instances: np.ndarray, ids, classes) -> np.ndarray:
         """Instance-id â†’ class LUT (0 for background and skipped instances)."""
         lut = np.zeros(int(instances.max()) + 1, np.int64)
@@ -184,11 +298,11 @@ class CellSegClassifier:
         Painting is one LUT gather + scatter (O(HÂ·W)) rather than a
         per-instance ``instances == id`` mask loop (O(NÂ·HÂ·W))."""
         instances = self.proposer.propose(image)
-        patches, ids, _ = extract_instance_patches(image, instances)
+        ids, boxes = extract_instance_boxes(instances)
         out = np.zeros((1,) + image.shape[:2] + (self.num_classes,), np.float32)
         if not ids:
             return {"out": out, "instances": instances}
-        classes = self.classify_patches(patches)
+        classes = self.classify_rois(image, boxes)
         cls_map = self._class_lut(instances, ids, classes)[instances]
         fg = cls_map > 0
         out[0][fg, cls_map[fg]] = 1.0
@@ -204,10 +318,10 @@ class CellSegClassifier:
         materializing the (H, W, C) one-hot (pinned by
         ``tests/test_cell_fastpath.py``)."""
         instances = self.proposer.propose(image)
-        patches, ids, _ = extract_instance_patches(image, instances)
+        ids, boxes = extract_instance_boxes(instances)
         if not ids:
             return np.zeros(image.shape[:2], np.uint8)
-        classes = self.classify_patches(patches)
+        classes = self.classify_rois(image, boxes)
         return self._class_lut(instances, ids, classes)[instances].astype(np.uint8)
 
     # -- persistence ---------------------------------------------------------
@@ -235,25 +349,38 @@ class CellTrainer:
         model = self.model
 
         @jax.jit
-        def step(head, opt_state, patches, labels):
+        def step(head, opt_state, feats, labels, valid):
+            """feats: FROZEN encoder output (B, h, w, 2048), precomputed once
+            per cached batch â€” the encoder receives no gradient (reference
+            ``conductor.py:213`` no_grad), so re-running its forward every
+            epoch (as the reference does) is pure waste; only the adapter +
+            classifier see the optimizer. ``valid`` masks bucket-pad rows."""
             def loss_fn(h):
-                feats = model.encoder.apply(model.encoder_vars, patches, train=False)
-                feats = jax.lax.stop_gradient(feats)
-                feats = jax.lax.conv_general_dilated(
-                    feats, h["adapter"]["kernel"], (1, 1), "SAME",
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                ) + h["adapter"]["bias"]
-                feats = jnp.mean(feats, axis=(1, 2))
-                logits = feats @ h["classifier"]["kernel"] + h["classifier"]["bias"]
+                logits = model._head_logits(h, feats)
                 logp = jax.nn.log_softmax(logits, axis=-1)
-                nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)
-                return jnp.mean(nll)
+                nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+                return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
             loss, grads = jax.value_and_grad(loss_fn)(head)
             updates, opt_state = self.tx.update(grads, opt_state, head)
             return optax.apply_updates(head, updates), opt_state, loss
 
         return step
+
+    def _roi_feats_fn(self):
+        """Jitted image+boxes â†’ frozen encoder features (bucketed B)."""
+        fn = getattr(self, "_roi_feats_jit", None)
+        if fn is None:
+            model = self.model
+
+            @jax.jit
+            def fn(enc_vars, image, boxes):
+                patches = roi_resize_64(image, boxes)
+                patches = (patches - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+                return model.encoder.apply(enc_vars, patches, train=False)
+
+            self._roi_feats_jit = fn
+        return fn
 
     @staticmethod
     def instance_majority_labels(instances: np.ndarray, gt_mask: np.ndarray,
@@ -277,21 +404,30 @@ class CellTrainer:
         out_dir = os.path.join(save_dir, date)
         best = 0.0
         path = os.path.join(out_dir, "cellclassifier.pkl")
-        # cache proposals once (the reference caches diffusion-augmented
-        # inputs similarly, segmentor.py:144-161)
+        # cache proposals + FROZEN encoder features once (the reference
+        # caches diffusion-augmented inputs similarly, segmentor.py:144-161;
+        # feature caching is sound because the encoder never trains)
         cache = []
+        roi_feats = self._roi_feats_fn()
         for img, gt in train_pairs:
             inst = self.model.proposer.propose(img)
-            patches, ids, _ = extract_instance_patches(img, inst)
+            ids, boxes = extract_instance_boxes(inst)
             if ids:
-                labels = self.instance_majority_labels(inst, gt, ids)
-                cache.append((patches, labels))
+                bb = self.model.pad_boxes(boxes)
+                feats = np.asarray(roi_feats(
+                    self.model.encoder_vars,
+                    jnp.asarray(img, jnp.float32), jnp.asarray(bb)))
+                labels = np.zeros((bb.shape[0],), np.int32)
+                labels[:len(ids)] = self.instance_majority_labels(inst, gt, ids)
+                valid = np.zeros((bb.shape[0],), np.float32)
+                valid[:len(ids)] = 1.0
+                cache.append((feats, labels, valid))
         for epoch in range(epochs):
             total, n = 0.0, 0
-            for patches, labels in cache:
+            for feats, labels, valid in cache:
                 self.model.head, self.opt_state, loss = self._step(
-                    self.model.head, self.opt_state, jnp.asarray(patches),
-                    jnp.asarray(labels))
+                    self.model.head, self.opt_state, jnp.asarray(feats),
+                    jnp.asarray(labels), jnp.asarray(valid))
                 total += float(loss)
                 n += 1
             self.log(f"Epoch {epoch + 1}/{epochs}, Loss: {total / max(n, 1):.4f}")

@@ -121,15 +121,24 @@ def test_classifier_training_reduces_loss():
     gt = (inst > 0).astype(np.int32) * 2  # all cells are class 2
     model = CellSegClassifier(num_classes=4, encoder_cfg=ResNetConfig.tiny())
     trainer = CellTrainer(model, lr=1e-2)
-    patches, ids, _ = extract_instance_patches(img, model.proposer.propose(img))
+    inst_pred = model.proposer.propose(img)
+    from ldiffusion_tpu.cell.classifier import extract_instance_boxes
+
+    ids, boxes = extract_instance_boxes(inst_pred)
     if len(ids) == 0:
         pytest.skip("proposer found nothing on synthetic data")
-    inst_pred = model.proposer.propose(img)
-    labels = trainer.instance_majority_labels(inst_pred, gt, ids)
+    bb = model.pad_boxes(boxes)
+    feats = trainer._roi_feats_fn()(
+        model.encoder_vars, jnp.asarray(img, jnp.float32), jnp.asarray(bb))
+    labels = np.zeros((bb.shape[0],), np.int32)
+    labels[:len(ids)] = trainer.instance_majority_labels(inst_pred, gt, ids)
+    valid = np.zeros((bb.shape[0],), np.float32)
+    valid[:len(ids)] = 1.0
     losses = []
     for _ in range(20):
         model.head, trainer.opt_state, loss = trainer._step(
-            model.head, trainer.opt_state, jnp.asarray(patches), jnp.asarray(labels))
+            model.head, trainer.opt_state, feats, jnp.asarray(labels),
+            jnp.asarray(valid))
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.5  # actually learns (reference didn't)
 

@@ -11,7 +11,9 @@ from ldiffusion_tpu.cell.classifier import (
     PATCH,
     CellSegClassifier,
     CellTrainer,
+    extract_instance_boxes,
     extract_instance_patches,
+    roi_resize_64,
     _resize64,
 )
 from ldiffusion_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
@@ -92,9 +94,10 @@ def test_forward_paint_and_predict_mask_match_naive():
     model.proposer = _FixedProposer(inst)
 
     out = model.forward(image)["out"]
-    # naive paint with the same classes
-    patches, ids, _ = extract_instance_patches(image, inst)
-    classes = model.classify_patches(patches)
+    # naive paint with the same classes (forward classifies via the device
+    # ROI path, so source the reference classes from it too)
+    ids, boxes = extract_instance_boxes(inst)
+    classes = model.classify_rois(image, boxes)
     ref = np.zeros_like(out)
     for inst_id, cls in zip(ids, classes):
         ref[0, inst == inst_id, int(cls)] = 1.0
@@ -117,6 +120,63 @@ def test_classify_patches_bucketing_invariant():
     np.testing.assert_array_equal(got5[:3], got3)
     assert got5.shape == (5,) and got5.min() >= 1
     assert got5.max() <= model.num_classes - 1
+
+
+def test_roi_resize_matches_pil_on_upscale():
+    """Device crop-and-resize equals the host PIL path on upscaled boxes
+    (sides < 64, the cell regime): PIL bilinear applies no antialias filter
+    there and uses the same center-alignment convention, so the only
+    remaining difference is PIL's uint8 quantization (≤ ~1/255 per tap)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    image = rng.random((128, 128, 3)).astype(np.float32)
+    boxes = []
+    for _ in range(16):
+        y1 = int(rng.integers(0, 60))
+        x1 = int(rng.integers(0, 60))
+        h = int(rng.integers(MIN_BOX + 1, 60))
+        w = int(rng.integers(MIN_BOX + 1, 60))
+        boxes.append((x1, y1, min(x1 + w, 127), min(y1 + h, 127)))
+    dev = np.asarray(roi_resize_64(jnp.asarray(image),
+                                   jnp.asarray(np.asarray(boxes, np.float32))))
+    for k, (x1, y1, x2, y2) in enumerate(boxes):
+        host = _resize64(image[y1:y2 + 1, x1:x2 + 1])
+        assert np.max(np.abs(dev[k] - host)) <= 2.5 / 255, (
+            k, np.max(np.abs(dev[k] - host)))
+
+
+def test_classify_rois_matches_patches():
+    """The fused image+boxes program predicts the same classes as the
+    host-extracted patch path (fixed seed; differences are bounded by PIL's
+    uint8 rounding + the patch path's f16 transfer, both far below typical
+    decision margins)."""
+    rng = np.random.default_rng(12)
+    image = rng.random((96, 96, 3)).astype(np.float32)
+    inst = _random_instances(rng)
+    model = _tiny_model()
+    ids, boxes = extract_instance_boxes(inst)
+    patches, ids_p, _ = extract_instance_patches(image, inst)
+    assert ids == ids_p
+    via_patches = model.classify_patches(patches)
+    via_rois = model.classify_rois(image, boxes)
+    assert via_rois.shape == via_patches.shape
+    agree = float(np.mean(via_rois == via_patches))
+    assert agree >= 0.9, (agree, via_rois, via_patches)
+
+
+def test_classify_rois_bucketing_invariant():
+    """Dummy pad boxes must not change the real rows' classes."""
+    rng = np.random.default_rng(13)
+    image = rng.random((96, 96, 3)).astype(np.float32)
+    inst = _random_instances(rng)
+    model = _tiny_model()
+    _, boxes = extract_instance_boxes(inst)
+    assert len(boxes) >= 4
+    all_cls = model.classify_rois(image, boxes)
+    sub_cls = model.classify_rois(image, boxes[:3])
+    np.testing.assert_array_equal(all_cls[:3], sub_cls)
+    assert all_cls.min() >= 1 and all_cls.max() <= model.num_classes - 1
 
 
 def test_follow_flows_squaring_matches_euler():

@@ -74,7 +74,7 @@ def main():
     from PIL import Image
 
     from bench_inference_e2e import build_sd_components
-    from ldiffusion_tpu.cell.classifier import CellSegClassifier, extract_instance_patches
+    from ldiffusion_tpu.cell.classifier import CellSegClassifier, extract_instance_boxes
     from ldiffusion_tpu.cell.instance import (
         DistanceWatershedProposer,
         FlowNetProposer,
@@ -133,15 +133,15 @@ def main():
         # compile passes (flow net program + the classify bucket)
         t0 = time.perf_counter()
         inst0 = prop.propose(scenes[0])
-        p0, ids0, _ = extract_instance_patches(scenes[0], inst0)
+        ids0, boxes0 = extract_instance_boxes(inst0)
         if ids0:
-            model.classify_patches(p0)
+            model.classify_rois(scenes[0], boxes0)
             # pre-compile the adjacent buckets the timed scenes may hit
             # (instance counts vary ±5% around the warmup scene's); a bucket
             # compile landing inside a timed pass would corrupt the average
             for nb in (1536, 1024, 512):
                 if len(ids0) > nb // 2:
-                    model.classify_patches(p0[:min(len(ids0), nb)])
+                    model.classify_rois(scenes[0], boxes0[:min(len(ids0), nb)])
         print(f"[{name}] warmup (compiles) {time.perf_counter()-t0:.1f}s; "
               f"{inst0.max()} instances proposed, {len(ids0)} kept", flush=True)
 
@@ -150,9 +150,9 @@ def main():
             t0 = time.perf_counter()
             inst = prop.propose(s)
             t1 = time.perf_counter()
-            patches, ids, _ = extract_instance_patches(s, inst)
+            ids, boxes = extract_instance_boxes(inst)
             t2 = time.perf_counter()
-            classes = (model.classify_patches(patches) if ids else
+            classes = (model.classify_rois(s, boxes) if ids else
                        np.zeros((0,), np.int64))
             t3 = time.perf_counter()
             if ids:
