@@ -201,14 +201,24 @@ def cluster_endpoints(pos: np.ndarray, cellprob: np.ndarray,
     fg pixels by the connected component of their sink."""
     h, w = cellprob.shape
     fg = cellprob > prob_threshold
-    sinks = np.zeros((h, w), bool)
     py = np.clip(np.round(pos[..., 0]).astype(np.int64), 0, h - 1)
     px = np.clip(np.round(pos[..., 1]).astype(np.int64), 0, w - 1)
-    sinks[py[fg], px[fg]] = True
-    sinks = ndimage.binary_dilation(sinks, iterations=1)
+    return cluster_endpoints_packed(py * w + px, fg, min_size)
+
+
+def cluster_endpoints_packed(sink_flat: np.ndarray, fg: np.ndarray,
+                             min_size: int = 15) -> np.ndarray:
+    """``cluster_endpoints`` on pre-rounded flat sink indices (row-major
+    ``py * W + px``) — the packed form ``FlowNetProposer._device_propose``
+    downloads (int32 + bool instead of two f32 coordinate planes)."""
+    h, w = fg.shape
+    sink_flat = np.asarray(sink_flat, np.int64)
+    sinks = np.zeros(h * w, bool)
+    sinks[sink_flat[fg]] = True
+    sinks = ndimage.binary_dilation(sinks.reshape(h, w), iterations=1)
     sink_labels, _ = ndimage.label(sinks)
     labels = np.zeros((h, w), np.int32)
-    labels[fg] = sink_labels[py[fg], px[fg]]
+    labels[fg] = sink_labels.ravel()[sink_flat[fg]]
     return _filter_small(labels, min_size)
 
 
@@ -297,20 +307,42 @@ class FlowNetProposer:
         return np.asarray(out)
 
     def device_flows_and_pos(self, image) -> tuple:
-        """One jit-composable program: net forward → sigmoid → flow
-        integration. Returns (pos (H,W,2), cellprob (H,W)) device arrays —
-        ``propose`` runs it as a single dispatch; ``inference_cell`` fuses it
-        behind the diffusion transform."""
+        """Explicit (pos, cellprob) route — the oracle ``propose`` is pinned
+        against (``tests/test_cell_fastpath.py``); the shipped ``propose``
+        uses ``_device_propose``, which fuses the same computation plus the
+        endpoint rounding into one dispatch with a packed download."""
         out = self._net_fn()(self.params, jnp.asarray(image)[None])[0]
         # net regresses 5x-scaled flows (cellpose convention); unscale here
         flows, cellprob = out[..., :2] / 5.0, jax.nn.sigmoid(out[..., 2])
         pos = follow_flows(flows, cellprob, self.n_iter, self.prob_threshold)
         return pos, cellprob
 
+    def _device_propose(self, image) -> tuple:
+        """ONE dispatch for the whole device side of ``propose``: net forward
+        → sigmoid → flow integration → rounded flat sink index + fg mask.
+        vs. the two-dispatch ``device_flows_and_pos`` + host rounding this
+        saves a tunnel round trip and shrinks the download from 12 MB of f32
+        coordinate/probability planes to 5 MB (int32 + bool) at 1024²."""
+        fn = getattr(self, "_jit_propose", None)
+        if fn is None:
+            def run(p, im):
+                out = self.net.apply({"params": p}, im[None], train=False)[0]
+                flows = out[..., :2] / 5.0
+                cellprob = jax.nn.sigmoid(out[..., 2])
+                pos = follow_flows(flows, cellprob, self.n_iter,
+                                   self.prob_threshold)
+                h, w = cellprob.shape
+                py = jnp.clip(jnp.round(pos[..., 0]), 0, h - 1).astype(jnp.int32)
+                px = jnp.clip(jnp.round(pos[..., 1]), 0, w - 1).astype(jnp.int32)
+                return py * w + px, cellprob > self.prob_threshold
+            fn = jax.jit(run)
+            object.__setattr__(self, "_jit_propose", fn)
+        return fn(self.params, jnp.asarray(image))
+
     def propose(self, image: np.ndarray) -> np.ndarray:
-        pos, cellprob = self.device_flows_and_pos(image)
-        return cluster_endpoints(np.asarray(pos), np.asarray(cellprob),
-                                 self.prob_threshold, self.min_size)
+        sink_flat, fg = self._device_propose(image)
+        return cluster_endpoints_packed(np.asarray(sink_flat), np.asarray(fg),
+                                        self.min_size)
 
     # -- training -----------------------------------------------------------
     def loss_fn(self, params, images, flow_targets):

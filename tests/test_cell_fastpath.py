@@ -206,6 +206,38 @@ def test_follow_flows_squaring_matches_euler():
     assert gt_m["pq"] > 0.8, gt_m
 
 
+def test_fused_propose_matches_two_dispatch_route():
+    """``FlowNetProposer.propose`` (single fused dispatch + packed int32/bool
+    download) partitions identically to the explicit
+    ``device_flows_and_pos`` → host-rounding → ``cluster_endpoints`` route,
+    and ``cluster_endpoints_packed`` is exactly ``cluster_endpoints`` on
+    pre-rounded indices."""
+    from ldiffusion_tpu.cell.instance import (
+        FlowNetProposer,
+        cluster_endpoints,
+        cluster_endpoints_packed,
+    )
+
+    rng = np.random.default_rng(11)
+    image = rng.random((64, 64, 3)).astype(np.float32)
+    prop = FlowNetProposer.create(features=(8, 16), n_iter=40, min_size=5)
+
+    pos, cellprob = prop.device_flows_and_pos(image)
+    pos, cellprob = np.asarray(pos), np.asarray(cellprob)
+    ref = cluster_endpoints(pos, cellprob, prop.prob_threshold, prop.min_size)
+
+    # pure host-side refactor: packed form == coordinate form, bit for bit
+    h, w = cellprob.shape
+    fg = cellprob > prop.prob_threshold
+    py = np.clip(np.round(pos[..., 0]).astype(np.int64), 0, h - 1)
+    px = np.clip(np.round(pos[..., 1]).astype(np.int64), 0, w - 1)
+    np.testing.assert_array_equal(
+        cluster_endpoints_packed(py * w + px, fg, prop.min_size), ref)
+
+    # fused device program (net fwd + integration + rounding in ONE jit)
+    np.testing.assert_array_equal(prop.propose(image), ref)
+
+
 def test_instance_majority_labels_matches_naive():
     rng = np.random.default_rng(3)
     inst = _random_instances(rng)

@@ -78,7 +78,6 @@ def main():
     from ldiffusion_tpu.cell.instance import (
         DistanceWatershedProposer,
         FlowNetProposer,
-        cluster_endpoints,
     )
     from ldiffusion_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
     from ldiffusion_tpu.diffusion.pipeline import one_step_transform, trajectory_text_emb
